@@ -1,0 +1,534 @@
+"""Flash attention for TPU (Pallas), with segment-id packing and a
+shared-prompt visibility mode.
+
+TPU-native replacement for the reference's CUDA flash-attn dependency
+(reference: SURVEY.md §2.3 item 4; utils/nested_input.py varlen packing;
+utils/monkey_patch.py bidirectional + 4-D blocked masks). Design decisions:
+
+* One mask language: ``segment_ids`` ([B, S] int32, 0 = padding). Tokens
+  attend within their segment. This subsumes (a) plain padding masks,
+  (b) sequence packing (the reference's FA2 varlen cu_seqlens path), and
+  (c) the non-contextual query "blocked" mask (nonctx_emb_utils.py:27-82)
+  via ``prompt_len``: the first ``prompt_len`` positions form a shared
+  prefix visible to every segment, so `[prompt][tok eos][tok eos]...`
+  runs in one forward without any 4-D mask materialization.
+* Online-softmax forward: grid over (batch, heads, q-blocks), K/V resident
+  in VMEM per (b, h), fp32 accumulators, bf16 MXU matmuls.
+* FA2-style backward (custom VJP): recompute P from saved logsumexp; one
+  kernel accumulates dQ over k-blocks, another accumulates dK/dV over
+  q-blocks. No [B,H,S,S] materialization anywhere.
+* GQA handled by head-index mapping in the BlockSpec (no KV repeat in HBM).
+* head_dim is zero-padded to a lane multiple (128); scale uses the true dim.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (pure jnp) — the correctness oracle and CPU path
+# ---------------------------------------------------------------------------
+def attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    prompt_len: int = 0,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dense-softmax attention with the same mask semantics as the kernel.
+
+    Shapes: q [B, Sq, H, D]; k, v [B, Skv, Hkv, D] (Hkv divides H).
+    """
+    b, sq, h, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    logits = logits * sm_scale
+
+    mask = jnp.ones((b, sq, skv), dtype=bool)
+    if segment_ids is not None:
+        if kv_segment_ids is None:
+            kv_segment_ids = segment_ids
+        same = segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+        valid = (segment_ids[:, :, None] > 0) & (kv_segment_ids[:, None, :] > 0)
+        allowed = same & valid
+        if prompt_len > 0:
+            prompt_kv = (jnp.arange(skv)[None, None, :] < prompt_len) & (
+                kv_segment_ids[:, None, :] > 0
+            )
+            allowed = allowed | (prompt_kv & (segment_ids[:, :, None] > 0))
+        mask = mask & allowed
+    if causal:
+        mask = mask & (jnp.arange(sq)[:, None] >= jnp.arange(skv)[None, :])[None]
+
+    logits = jnp.where(mask[:, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # Fully-masked rows give uniform softmax over NEG_INF; zero them out.
+    any_valid = mask.any(axis=-1)[:, None, :, None]
+    probs = jnp.where(any_valid, probs, 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+    *, block_k: int, causal: bool, prompt_len: int, sm_scale: float,
+):
+    """One (batch, head, q-block) program: online softmax over k blocks."""
+    block_q = q_ref.shape[2]
+    skv = k_ref.shape[2]
+    d = q_ref.shape[3]
+    n_kb = skv // block_k
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+    qseg = qseg_ref[0, :]  # [bq]
+
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(ki, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        kseg = kseg_ref[0, pl.ds(ki * block_k, block_k)]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [bq, bk]
+
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        allowed = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] > 0) & (kseg[None, :] > 0)
+        if prompt_len > 0:
+            allowed = allowed | (
+                (k_pos < prompt_len) & (kseg[None, :] > 0) & (qseg[:, None] > 0)
+            )
+        if causal:
+            allowed = allowed & (q_pos >= k_pos)
+        s = jnp.where(allowed, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # Avoid exp(NEG_INF - NEG_INF) when a row has seen no valid key yet.
+        m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
+        p = jnp.exp(s - m_safe[:, None])
+        p = jnp.where(s <= NEG_INF * 0.5, 0.0, p)
+        alpha = jnp.exp(jnp.where(m_prev <= NEG_INF * 0.5, NEG_INF, m_prev) - m_safe)
+        alpha = jnp.where(m_prev <= NEG_INF * 0.5, 0.0, alpha)
+
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    if causal:
+        # Only visit k blocks that intersect the causal triangle for this q block.
+        last_kb = (q_start + block_q + block_k - 1) // block_k
+        n_iter = jnp.minimum(last_kb, n_kb)
+    else:
+        n_iter = n_kb
+    m, l, acc = jax.lax.fori_loop(0, n_iter, body, (m0, l0, acc0))
+
+    safe_l = jnp.where(l > 0, l, 1.0)
+    o_ref[0, 0] = (acc / safe_l[:, None]).astype(o_ref.dtype)
+    lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)
+    lse_ref[0, 0, :] = lse
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k: int, causal: bool, prompt_len: int, sm_scale: float,
+):
+    block_q = q_ref.shape[2]
+    skv = k_ref.shape[2]
+    d = q_ref.shape[3]
+    n_kb = skv // block_k
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :]
+    delta = delta_ref[0, 0, :]
+    qseg = qseg_ref[0, :]
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(ki, dq):
+        k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        kseg = kseg_ref[0, pl.ds(ki * block_k, block_k)]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        allowed = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] > 0) & (kseg[None, :] > 0)
+        if prompt_len > 0:
+            allowed = allowed | (
+                (k_pos < prompt_len) & (kseg[None, :] > 0) & (qseg[:, None] > 0)
+            )
+        if causal:
+            allowed = allowed & (q_pos >= k_pos)
+
+        lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
+        p = jnp.where(allowed, jnp.exp(s - lse_safe[:, None]), 0.0)
+        p = jnp.where((lse <= NEG_INF * 0.5)[:, None], 0.0, p)
+
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, None]) * sm_scale
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        last_kb = (q_start + block_q + block_k - 1) // block_k
+        n_iter = jnp.minimum(last_kb, n_kb)
+    else:
+        n_iter = n_kb
+    dq = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    *, block_q: int, causal: bool, prompt_len: int, sm_scale: float,
+):
+    block_k = k_ref.shape[2]
+    sq = q_ref.shape[2]
+    d = k_ref.shape[3]
+    n_qb = sq // block_q
+    ki = pl.program_id(2)
+    k_start = ki * block_k
+
+    k_blk = k_ref[0, 0].astype(jnp.float32)
+    v_blk = v_ref[0, 0].astype(jnp.float32)
+    kseg = kseg_ref[0, :]
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    def body(qi, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        qseg = qseg_ref[0, pl.ds(qi * block_q, block_q)]
+
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        allowed = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] > 0) & (kseg[None, :] > 0)
+        if prompt_len > 0:
+            allowed = allowed | (
+                (k_pos < prompt_len) & (kseg[None, :] > 0) & (qseg[:, None] > 0)
+            )
+        if causal:
+            allowed = allowed & (q_pos >= k_pos)
+
+        lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
+        p = jnp.where(allowed, jnp.exp(s - lse_safe[:, None]), 0.0)
+        p = jnp.where((lse <= NEG_INF * 0.5)[:, None], 0.0, p)
+
+        dv_new = dv + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, None]) * sm_scale
+        dk_new = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_new, dv_new
+
+    if causal:
+        # Only q blocks at or after this k block can attend to it.
+        first_qb = k_start // block_q
+        lo = first_qb
+    else:
+        lo = 0
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lo, n_qb, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+def _pad_to(x, target, axis):
+    if x.shape[axis] == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+)
+def _flash_attention_padded(
+    q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, block_k, interpret
+):
+    out, _ = _fa_forward(
+        q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, block_k, interpret
+    )
+    return out
+
+
+def _fa_forward(q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, block_k, interpret):
+    b, sq, h, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    kv_ratio = h // hkv
+
+    # [B, S, H, D] -> [B, H, S, D] for per-(b,h) blocking
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (b, h, sq // block_q)
+    kernel = functools.partial(
+        _fwd_kernel, block_k=block_k, causal=causal,
+        prompt_len=prompt_len, sm_scale=sm_scale,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
+            pl.BlockSpec((1, block_q), lambda bi, hi, qi: (bi, qi)),
+            pl.BlockSpec((1, skv), lambda bi, hi, qi: (bi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        qt.reshape(b, h, sq // block_q * block_q, d)[:, :, :, :],
+        kt, vt, qseg, kseg,
+    )
+    return out.transpose(0, 2, 1, 3), lse
+
+
+def _fa_fwd_rule(q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, block_k, interpret):
+    out, lse = _fa_forward(
+        q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, block_k, interpret
+    )
+    return out, (q, k, v, qseg, kseg, out, lse)
+
+
+def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res, do):
+    q, k, v, qseg, kseg, out, lse = res
+    b, sq, h, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    kv_ratio = h // hkv
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1)  # [B, H, Sq]
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = do.transpose(0, 2, 1, 3)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, block_k=block_k, causal=causal,
+        prompt_len=prompt_len, sm_scale=sm_scale,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
+            pl.BlockSpec((1, block_q), lambda bi, hi, qi: (bi, qi)),
+            pl.BlockSpec((1, skv), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt, qseg, kseg, dot, lse, delta)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, block_q=block_q, causal=causal,
+        prompt_len=prompt_len, sm_scale=sm_scale,
+    )
+    # dK/dV computed per query-head then summed over the GQA group below.
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, h, skv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi // kv_ratio, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi // kv_ratio, ki, 0)),
+            pl.BlockSpec((1, sq), lambda bi, hi, ki: (bi, 0)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, ki: (bi, ki)),
+            pl.BlockSpec((1, 1, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, hi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, skv, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qt, kt, vt, qseg, kseg, dot, lse, delta)
+
+    # Sum over the query heads sharing each KV head (GQA)
+    dk = dk.reshape(b, hkv, kv_ratio, skv, d).sum(axis=2)
+    dv = dv.reshape(b, hkv, kv_ratio, skv, d).sum(axis=2)
+
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3).astype(k.dtype),
+        dv.transpose(0, 2, 1, 3).astype(v.dtype),
+        None,
+        None,
+    )
+
+
+_flash_attention_padded.defvjp(_fa_fwd_rule, _fa_bwd_rule)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    prompt_len: int = 0,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention entry point. Shapes: q [B,Sq,H,D], k/v [B,Skv,Hkv,D].
+
+    ``segment_ids`` [B, Sq] int (0 = padding); ``kv_segment_ids`` defaults to
+    ``segment_ids`` (self-attention). ``prompt_len`` > 0 marks a shared prefix
+    visible to all segments (the non-contextual query pattern). Sequence and
+    head dims are padded to block/lane multiples internally.
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if segment_ids is None:
+        segment_ids = jnp.ones((b, sq), jnp.int32)
+        if kv_segment_ids is None:
+            kv_segment_ids = jnp.ones((b, skv), jnp.int32)
+    elif kv_segment_ids is None:
+        kv_segment_ids = segment_ids
+    segment_ids = segment_ids.astype(jnp.int32)
+    kv_segment_ids = kv_segment_ids.astype(jnp.int32)
+
+    # Pad sequence dims to block multiples (padding gets segment id 0) and
+    # head_dim to the 128-lane multiple (zero pad is exact for dot products).
+    sq_p = _round_up(max(sq, block_q), block_q)
+    skv_p = _round_up(max(skv, block_k), block_k)
+    d_p = _round_up(d, 128)
+
+    qp = _pad_to(_pad_to(q, sq_p, 1), d_p, 3)
+    kp = _pad_to(_pad_to(k, skv_p, 1), d_p, 3)
+    vp = _pad_to(_pad_to(v, skv_p, 1), d_p, 3)
+    qsegp = _pad_to(segment_ids, sq_p, 1)
+    ksegp = _pad_to(kv_segment_ids, skv_p, 1)
+
+    out = _flash_attention_padded(
+        qp, kp, vp, qsegp, ksegp, causal, prompt_len, sm_scale, block_q, block_k, interpret
+    )
+    return out[:, :sq, :, :d]
+
+
+def make_packed_segment_ids(lengths, total_len: int):
+    """Segment ids for sequences packed back-to-back (1-indexed; 0 = padding).
+
+    TPU replacement for the reference's cu_seqlens varlen path
+    (utils/nested_input.py:114-166): concatenation + segment ids instead of
+    dynamic-shape unpadding.
+    """
+    import numpy as np
+
+    seg = np.zeros(total_len, np.int32)
+    pos = 0
+    for i, L in enumerate(lengths, start=1):
+        seg[pos:pos + L] = i
+        pos += L
+    return seg
+
+
+def make_nonctx_segment_ids(prompt_len: int, n_tokens: int, tokens_per_block: int, total_len: int):
+    """Segment ids for the non-contextual query layout
+    ``[prompt][tok eos][tok eos]...`` (reference: nonctx_emb_utils.py:27-82).
+
+    The prompt occupies segment 1 over ``prompt_len`` positions; each
+    ``[tok eos]`` micro-block gets its own segment. Use together with
+    ``prompt_len=prompt_len`` so every block still sees the prompt.
+    """
+    import numpy as np
+
+    seg = np.zeros(total_len, np.int32)
+    seg[:prompt_len] = 1
+    pos = prompt_len
+    for i in range(n_tokens):
+        seg[pos:pos + tokens_per_block] = i + 2
+        pos += tokens_per_block
+    return seg
