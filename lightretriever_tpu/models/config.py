@@ -1,0 +1,87 @@
+"""Decoder model configuration covering the Llama & Qwen2 families.
+
+Covers every backbone the reference targets (Llama-3.x 1B/3B/8B, Qwen-2.5;
+reference: BASELINE.md configs; finetune/modeling_hybrid.py:67 treats "all
+Llama-alike models" uniformly). Loadable from a HF ``config.json``.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 16
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False  # Qwen2: True (qkv only)
+    model_type: str = "llama"  # llama | qwen2
+    # Llama-3 rope scaling: dict(rope_type='llama3', factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings)
+    rope_scaling: Optional[dict] = None
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
+        rope_scaling = cfg.get("rope_scaling")
+        if rope_scaling is not None:
+            rope_scaling = dict(rope_scaling)
+        return cls(
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+            head_dim=cfg.get("head_dim"),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", cfg.get("model_type") == "qwen2"),
+            model_type=cfg.get("model_type", "llama"),
+            rope_scaling=rope_scaling,
+        )
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "DecoderConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            return cls.from_hf_config(json.load(f))
+
+    # Frozen dataclass with a dict field needs a hash for jit static args
+    def __hash__(self):
+        rs = tuple(sorted(self.rope_scaling.items())) if self.rope_scaling else None
+        return hash((
+            self.vocab_size, self.hidden_size, self.intermediate_size,
+            self.num_hidden_layers, self.num_attention_heads,
+            self.num_key_value_heads, self.head_dim, self.rms_norm_eps,
+            self.rope_theta, self.max_position_embeddings,
+            self.tie_word_embeddings, self.attention_bias, self.model_type, rs,
+        ))
+
+
+TINY_LLAMA = DecoderConfig(
+    vocab_size=512, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, rope_theta=10000.0,
+    tie_word_embeddings=True, model_type="llama",
+)
+
+TINY_QWEN2 = DecoderConfig(
+    vocab_size=512, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, rope_theta=10000.0,
+    tie_word_embeddings=True, attention_bias=True, model_type="qwen2",
+)

@@ -1,0 +1,251 @@
+"""Llama/Qwen2 decoder as pure functions over a parameter pytree.
+
+TPU-native replacement of the reference's HF ``AutoModelForCausalLM`` backbone
+(reference: finetune/modeling_hybrid.py:54-88 unwraps "all Llama-alike
+models"; monkey patches in utils/monkey_patch.py and utils/nested_input.py
+become plain arguments here: ``causal=False`` for bidirectional attention,
+``segment_ids`` for packing, ``prompt_len`` for the blocked non-ctx mask).
+
+Design:
+* Parameters are a nested dict pytree with layers STACKED on a leading axis
+  and the layer loop expressed as ``lax.scan`` — one trace regardless of
+  depth, fast compiles, natural ``jax.checkpoint`` placement, and clean
+  NamedSharding specs (shard the stacked tensors once).
+* RMSNorm/softmax in fp32; matmuls in the param dtype (bf16 on TPU).
+* RoPE supports plain theta scaling and the llama3 frequency remapping.
+* Attention dispatches to the Pallas flash kernel on TPU, jnp reference
+  elsewhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DecoderConfig
+from ..ops.flash_attention import attention_reference, flash_attention
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+def init_params(config: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-normal init (scale 0.02), HF-compatible structure, scanned layout."""
+    h, i = config.hidden_size, config.intermediate_size
+    nh, nkv, dh = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
+    L, v = config.num_hidden_layers, config.vocab_size
+    ks = jax.random.split(key, 12)
+
+    def rnd(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params: Params = {
+        "embed_tokens": rnd(ks[0], (v, h)),
+        "layers": {
+            "q_proj": {"kernel": rnd(ks[1], (L, h, nh * dh))},
+            "k_proj": {"kernel": rnd(ks[2], (L, h, nkv * dh))},
+            "v_proj": {"kernel": rnd(ks[3], (L, h, nkv * dh))},
+            "o_proj": {"kernel": rnd(ks[4], (L, nh * dh, h))},
+            "gate_proj": {"kernel": rnd(ks[5], (L, h, i))},
+            "up_proj": {"kernel": rnd(ks[6], (L, h, i))},
+            "down_proj": {"kernel": rnd(ks[7], (L, i, h))},
+            "input_layernorm": jnp.ones((L, h), dtype),
+            "post_attention_layernorm": jnp.ones((L, h), dtype),
+        },
+        "norm": jnp.ones((h,), dtype),
+    }
+    if config.attention_bias:
+        params["layers"]["q_proj"]["bias"] = jnp.zeros((L, nh * dh), dtype)
+        params["layers"]["k_proj"]["bias"] = jnp.zeros((L, nkv * dh), dtype)
+        params["layers"]["v_proj"]["bias"] = jnp.zeros((L, nkv * dh), dtype)
+    if not config.tie_word_embeddings:
+        params["lm_head"] = rnd(ks[8], (h, v))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope_inv_freq(config: DecoderConfig) -> np.ndarray:
+    dh = config.head_dim_
+    inv_freq = 1.0 / (config.rope_theta ** (np.arange(0, dh, 2, dtype=np.float64) / dh))
+    rs = config.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        # Llama-3 frequency remapping (matches HF's _compute_llama3_parameters)
+        factor = rs["factor"]
+        lo = rs["low_freq_factor"]
+        hi = rs["high_freq_factor"]
+        orig = rs["original_max_position_embeddings"]
+        low_wavelen = orig / lo
+        high_wavelen = orig / hi
+        wavelen = 2 * np.pi / inv_freq
+        scaled = np.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+        smooth = (orig / wavelen - lo) / (hi - lo)
+        smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        is_medium = (wavelen >= high_wavelen) & (wavelen <= low_wavelen)
+        inv_freq = np.where(is_medium, smoothed, scaled)
+    return inv_freq.astype(np.float32)
+
+
+def rope_cos_sin(config: DecoderConfig, position_ids: jnp.ndarray):
+    """cos/sin tables for given positions. position_ids: [B, S] -> [B, S, dh/2]."""
+    inv_freq = jnp.asarray(_rope_inv_freq(config))
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate pairs (HF 'half' layout): x [B, S, H, dh]; cos/sin [B, S, dh/2]."""
+    dh = x.shape[-1]
+    x1 = x[..., : dh // 2]
+    x2 = x[..., dh // 2:]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def _linear(x, p, lora=None, lora_scale=1.0):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    if lora is not None:
+        y = y + (x @ lora["a"]) @ lora["b"] * lora_scale
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+def _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl, sm_scale):
+    if attn_impl == "pallas":
+        return flash_attention(
+            q, k, v, segment_ids=segment_ids, causal=causal,
+            prompt_len=prompt_len, sm_scale=sm_scale,
+        )
+    return attention_reference(
+        q, k, v, segment_ids=segment_ids, causal=causal,
+        prompt_len=prompt_len, sm_scale=sm_scale,
+    )
+
+
+def _decoder_layer(
+    hidden, layer_params, lora_params, cos, sin, segment_ids, config: DecoderConfig,
+    causal: bool, prompt_len: int, attn_impl: str, lora_scale: float,
+):
+    b, s, h = hidden.shape
+    nh, nkv, dh = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
+
+    def lp(name):
+        return lora_params.get(name) if lora_params is not None else None
+
+    residual = hidden
+    x = rms_norm(hidden, layer_params["input_layernorm"], config.rms_norm_eps)
+    q = _linear(x, layer_params["q_proj"], lp("q_proj"), lora_scale).reshape(b, s, nh, dh)
+    k = _linear(x, layer_params["k_proj"], lp("k_proj"), lora_scale).reshape(b, s, nkv, dh)
+    v = _linear(x, layer_params["v_proj"], lp("v_proj"), lora_scale).reshape(b, s, nkv, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl, 1.0 / (dh ** 0.5))
+    attn = attn.reshape(b, s, nh * dh)
+    hidden = residual + _linear(attn, layer_params["o_proj"], lp("o_proj"), lora_scale)
+
+    residual = hidden
+    x = rms_norm(hidden, layer_params["post_attention_layernorm"], config.rms_norm_eps)
+    gate = _linear(x, layer_params["gate_proj"], lp("gate_proj"), lora_scale)
+    up = _linear(x, layer_params["up_proj"], lp("up_proj"), lora_scale)
+    mlp = _linear(jax.nn.silu(gate) * up, layer_params["down_proj"], lp("down_proj"), lora_scale)
+    return residual + mlp
+
+
+def forward(
+    params: Params,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    *,
+    config: DecoderConfig,
+    causal: bool = True,
+    prompt_len: int = 0,
+    attn_impl: str = "auto",
+    output_hidden_states: bool = False,
+    remat: bool = False,
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+) -> dict[str, jnp.ndarray]:
+    """Decoder forward. Returns {'last_hidden_state', 'hidden_states'?}.
+
+    ``attention_mask`` [B, S] (1 = valid) is converted to segment ids if
+    ``segment_ids`` isn't given. ``hidden_states`` (when requested) is the
+    stacked [L+1, B, S, H] tuple-equivalent: embeddings first, final
+    (pre-norm) layer outputs last — index like the reference's
+    ``output_hidden_states`` tuple (dense_pooling.py:38-46 uses [0], [-2], [-1]).
+    """
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    b, s = input_ids.shape
+    if segment_ids is None:
+        if attention_mask is None:
+            segment_ids = jnp.ones((b, s), jnp.int32)
+        else:
+            segment_ids = attention_mask.astype(jnp.int32)
+    if position_ids is None:
+        if attention_mask is not None:
+            # Left/right-padding-safe: positions count valid tokens only
+            position_ids = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0, None)
+        else:
+            position_ids = jnp.broadcast_to(jnp.arange(s), (b, s))
+
+    hidden = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    cos, sin = rope_cos_sin(config, position_ids)
+
+    layer_fn = functools.partial(
+        _decoder_layer, config=config, causal=causal,
+        prompt_len=prompt_len, attn_impl=attn_impl, lora_scale=lora_scale,
+    )
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
+
+    def scan_body(h, xs):
+        layer_params, lora_params = xs
+        out = layer_fn(h, layer_params, lora_params, cos, sin, segment_ids)
+        return out, (h if output_hidden_states else None)
+
+    lora_layers = lora["layers"] if lora is not None else None
+    # Partial-module LoRA: scan needs every leaf stacked over L; missing
+    # modules are represented by absence (dict without that key).
+    last, collected = jax.lax.scan(scan_body, hidden, (params["layers"], lora_layers))
+    result = {"last_hidden_state": rms_norm(last, params["norm"], config.rms_norm_eps)}
+    if output_hidden_states:
+        # collected[l] = input to layer l (so [0] = embeddings); append final
+        result["hidden_states"] = jnp.concatenate(
+            [collected, result["last_hidden_state"][None]], axis=0
+        )
+    return result
+
+
+def lm_head_weight(params: Params, config: DecoderConfig) -> jnp.ndarray:
+    """[H, V] vocab projection (tied embeddings transposed or explicit head).
+
+    The sparse path projects hidden states through this
+    (reference: sparse_pooling.py:219-241 get_lm_head_weight_bias).
+    """
+    if "lm_head" in params:
+        return params["lm_head"]
+    return params["embed_tokens"].T
+
+
+def logits(params: Params, hidden: jnp.ndarray, config: DecoderConfig) -> jnp.ndarray:
+    return hidden @ lm_head_weight(params, config)
