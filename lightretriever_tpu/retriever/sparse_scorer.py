@@ -1,0 +1,347 @@
+"""Sparse impact search — TPU-native replacement of Anserini/Lucene.
+
+The reference drives a Java fat-jar through pyjnius for inverted-index impact
+search and BM25 (reference: retriever/anserini_search.py:24-216, quantized
+impact vectors produced by sparse_converter_mixin.py:19-101 with
+quantization_factor=100). Rebuilt on the TPU compute model:
+
+* documents are quantized term-impact vectors held host-side in a padded
+  COO-ish layout ``(term_ids [N, K], impacts [N, K])`` — the static-shape
+  replacement for ragged postings;
+* scoring streams doc chunks through the device: each chunk is scattered into
+  a dense ``[C, V]`` impact matrix in on-chip memory and scored against the
+  query token-count matrix with one MXU matmul (``[Q, V] x [V, C]``) — the
+  "impact-ordered postings" of Lucene become a bandwidth-bound GEMM;
+* per-chunk top-k merges host-side exactly like the dense engine.
+
+``BM25Index`` reproduces the reference's DummyModel/BM25 baseline
+(inference/dummy.py + AnseriniSearch bm25 flags, anserini_search.py:195-202):
+Lucene-style analysis (lowercase, split, stopwords) and BM25 term weights
+precomputed into impacts, so BM25 rides the same TPU scorer.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import re
+from collections import Counter
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .knn import merge_topk, _round_up
+
+logger = logging.getLogger(__name__)
+
+SparseVec = dict[int, float]
+
+
+# ---------------------------------------------------------------------------
+# Host-side layout: dict vectors -> padded arrays
+# ---------------------------------------------------------------------------
+def pack_sparse_vecs(
+    vecs: Sequence[SparseVec], pad_multiple: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack dict sparse vectors into padded (ids [N, K], vals [N, K]); pad id = -1."""
+    k_max = max((len(v) for v in vecs), default=1)
+    k_max = _round_up(max(k_max, 1), pad_multiple)
+    ids = np.full((len(vecs), k_max), -1, np.int32)
+    vals = np.zeros((len(vecs), k_max), np.float32)
+    for i, v in enumerate(vecs):
+        if not v:
+            continue
+        items = sorted(v.items())
+        ids[i, : len(items)] = [t for t, _ in items]
+        vals[i, : len(items)] = [x for _, x in items]
+    return ids, vals
+
+
+def quantize_vecs(vecs: Sequence[SparseVec], quantization_factor: int = 100) -> list[SparseVec]:
+    """Integer impact quantization (parity: sparse_converter_mixin.py:38-44)."""
+    out = []
+    for v in vecs:
+        q = {t: int(x * quantization_factor) for t, x in v.items()}
+        out.append({t: float(x) for t, x in q.items() if x > 0})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device scoring
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("vocab_size", "k"))
+def _score_chunk(q_dense, ids, vals, valid_rows, vocab_size: int, k: int):
+    """Scatter a doc chunk to dense [C, V] and score with one MXU matmul."""
+    c, kk = ids.shape
+    ok = ids >= 0
+    safe = jnp.where(ok, ids, 0)
+    rows = jnp.broadcast_to(jnp.arange(c)[:, None], (c, kk))
+    dense = jnp.zeros((c, vocab_size), q_dense.dtype).at[rows, safe].add(
+        jnp.where(ok, vals, 0.0).astype(q_dense.dtype)
+    )
+    scores = jax.lax.dot_general(
+        q_dense, dense, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = jnp.where(valid_rows[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+def _make_sharded_score(mesh: Mesh, vocab_size: int, k_local: int, k_final: int,
+                        axis: str = "data"):
+    from jax import shard_map
+
+    def _search(q_dense, ids, vals, valid_rows, row_offset):
+        c, kk = ids.shape
+        ok = ids >= 0
+        safe = jnp.where(ok, ids, 0)
+        rows = jnp.broadcast_to(jnp.arange(c)[:, None], (c, kk))
+        dense = jnp.zeros((c, vocab_size), q_dense.dtype).at[rows, safe].add(
+            jnp.where(ok, vals, 0.0).astype(q_dense.dtype)
+        )
+        scores = jax.lax.dot_general(
+            q_dense, dense, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(valid_rows[None, :], scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, k_local)
+        gids = i + row_offset[0]
+        s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+        s2, i2 = jax.lax.top_k(s_all, k_final)
+        return s2, jnp.take_along_axis(g_all, i2, axis=1)
+
+    return jax.jit(shard_map(
+        _search, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+
+
+class SparseImpactIndex:
+    """Impact-quantized sparse index scored on TPU (Anserini replacement)."""
+
+    def __init__(
+        self,
+        vocab_size: int,
+        mesh: Optional[Mesh] = None,
+        quantization_factor: int = 100,
+        dtype=jnp.float32,
+        chunk_docs: int = 16384,
+        axis: str = "data",
+    ):
+        self.vocab_size = vocab_size
+        self.mesh = mesh
+        self.axis = axis
+        self.quantization_factor = quantization_factor
+        self.dtype = dtype
+        self.chunk_docs = chunk_docs
+        self._ids: list[np.ndarray] = []
+        self._vals: list[np.ndarray] = []
+        self._n = 0
+        self._fns: dict = {}
+
+    def __len__(self) -> int:
+        return self._n
+
+    def add(
+        self,
+        vecs: Optional[Sequence[SparseVec]] = None,
+        ids: Optional[np.ndarray] = None,
+        vals: Optional[np.ndarray] = None,
+        quantize: bool = True,
+    ) -> None:
+        """Add docs as dict vectors (quantized like the reference) or
+        pre-packed padded arrays."""
+        if vecs is not None:
+            if quantize:
+                vecs = quantize_vecs(vecs, self.quantization_factor)
+            ids, vals = pack_sparse_vecs(vecs)
+        assert ids is not None and vals is not None
+        self._ids.append(np.asarray(ids, np.int32))
+        self._vals.append(np.asarray(vals, np.float32))
+        self._n += len(ids)
+
+    def _iter_chunks(self):
+        """Yield (ids, vals, n_valid) chunks of ``chunk_docs`` rows."""
+        buf_i: list[np.ndarray] = []
+        buf_v: list[np.ndarray] = []
+        have = 0
+        for ids, vals in zip(self._ids, self._vals):
+            pos = 0
+            while pos < len(ids):
+                take = min(self.chunk_docs - have, len(ids) - pos)
+                buf_i.append(ids[pos: pos + take])
+                buf_v.append(vals[pos: pos + take])
+                have += take
+                pos += take
+                if have == self.chunk_docs:
+                    yield self._stack(buf_i, buf_v)
+                    buf_i, buf_v, have = [], [], 0
+        if have:
+            yield self._stack(buf_i, buf_v)
+
+    @staticmethod
+    def _stack(buf_i, buf_v):
+        kmax = max(a.shape[1] for a in buf_i)
+        ids = np.full((sum(len(a) for a in buf_i), kmax), -1, np.int32)
+        vals = np.zeros_like(ids, dtype=np.float32)
+        r = 0
+        for a, b in zip(buf_i, buf_v):
+            ids[r: r + len(a), : a.shape[1]] = a
+            vals[r: r + len(b), : b.shape[1]] = b
+            r += len(a)
+        return ids, vals, r
+
+    def _query_matrix(self, queries) -> np.ndarray:
+        if isinstance(queries, np.ndarray):
+            return queries.astype(np.float32)
+        q = np.zeros((len(queries), self.vocab_size), np.float32)
+        for i, vec in enumerate(queries):
+            for t, x in vec.items():
+                if 0 <= t < self.vocab_size:
+                    q[i, t] = x
+        return q
+
+    def search(self, queries, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k impact search. ``queries``: [Q, V] dense array or list of dicts
+        (token -> weight, typically integer token counts)."""
+        q = jnp.asarray(self._query_matrix(queries), self.dtype)
+        best_s = best_i = None
+        offset = 0
+        n_shards = self.mesh.shape[self.axis] if self.mesh else 1
+        for ids, vals, n_valid in self._iter_chunks():
+            c = _round_up(max(len(ids), n_shards), n_shards)
+            if c != len(ids):
+                pad = c - len(ids)
+                ids = np.concatenate([ids, np.full((pad, ids.shape[1]), -1, np.int32)])
+                vals = np.concatenate([vals, np.zeros((pad, vals.shape[1]), np.float32)])
+            valid = np.zeros(c, bool)
+            valid[:n_valid] = True
+            k_eff = min(k, n_valid)
+            if self.mesh is not None:
+                rows_per = c // n_shards
+                k_local = min(k_eff, rows_per)
+                key = ("sh", ids.shape[1], c, k_local, k_eff)
+                if key not in self._fns:
+                    self._fns[key] = _make_sharded_score(
+                        self.mesh, self.vocab_size, k_local, k_eff, self.axis
+                    )
+                row_off = (np.arange(n_shards, dtype=np.int32)
+                           .repeat(rows_per) * rows_per)
+                sh_2d = NamedSharding(self.mesh, P(self.axis, None))
+                sh_1d = NamedSharding(self.mesh, P(self.axis))
+                s, i = self._fns[key](
+                    q,
+                    jax.device_put(ids, sh_2d),
+                    jax.device_put(vals, sh_2d),
+                    jax.device_put(valid, sh_1d),
+                    jax.device_put(row_off, sh_1d),
+                )
+            else:
+                s, i = _score_chunk(
+                    q, jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(valid),
+                    self.vocab_size, k_eff,
+                )
+            s, i = np.asarray(s, np.float32), np.asarray(i, np.int64)
+            i = np.where(np.isfinite(s), i + offset, -1)
+            offset += n_valid
+            if best_s is None:
+                best_s, best_i = s, i
+            else:
+                best_s, best_i = merge_topk(best_s, best_i, s, i, k)
+        if best_s is None:
+            raise ValueError("search on empty index")
+        best_s = np.array(best_s)
+        best_s[best_i < 0] = -np.inf
+        return best_s[:, :k], best_i[:, :k]
+
+
+# ---------------------------------------------------------------------------
+# BM25 on the impact scorer (DummyModel / Anserini-BM25 baseline parity)
+# ---------------------------------------------------------------------------
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+# Lucene EnglishAnalyzer default stopword set (public standard list)
+LUCENE_EN_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def lucene_analyze(text: str, stopwords: frozenset = LUCENE_EN_STOPWORDS) -> list[str]:
+    """Lowercase + word split + stopword removal — the analysis Lucene applies
+    in the reference's BM25 path (anserini_search.py native analyzer)."""
+    return [t for t in _TOKEN_RE.findall(text.lower()) if t not in stopwords]
+
+
+class BM25Index:
+    """BM25 retrieval over the TPU impact scorer.
+
+    BM25 term weights (k1/b, Lucene idf) are precomputed into per-doc impacts
+    at index time; query-time scoring is then a plain impact dot product, so
+    quality matches Lucene BM25 while the compute is one GEMM per chunk.
+    """
+
+    def __init__(
+        self,
+        mesh: Optional[Mesh] = None,
+        k1: float = 0.9,
+        b: float = 0.4,
+        analyzer=lucene_analyze,
+        quantization_factor: int = 100,
+    ):
+        self.k1, self.b = k1, b
+        self.mesh = mesh
+        self.analyzer = analyzer
+        self.quantization_factor = quantization_factor
+        self.term_to_id: dict[str, int] = {}
+        self._docs_tf: list[Counter] = []
+        self._doc_lens: list[int] = []
+        self._index: Optional[SparseImpactIndex] = None
+
+    def add(self, texts: Iterable[str]) -> None:
+        for text in texts:
+            toks = self.analyzer(text)
+            tf = Counter()
+            for t in toks:
+                tid = self.term_to_id.setdefault(t, len(self.term_to_id))
+                tf[tid] += 1
+            self._docs_tf.append(tf)
+            self._doc_lens.append(len(toks))
+        self._index = None
+
+    def _finalize(self) -> None:
+        if self._index is not None:
+            return
+        n = len(self._docs_tf)
+        assert n > 0, "empty BM25 index"
+        avdl = max(sum(self._doc_lens) / n, 1e-9)
+        df = Counter()
+        for tf in self._docs_tf:
+            df.update(tf.keys())
+        idf = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for t, d in df.items()}
+        vecs: list[SparseVec] = []
+        for tf, dl in zip(self._docs_tf, self._doc_lens):
+            norm = self.k1 * (1.0 - self.b + self.b * dl / avdl)
+            vecs.append({
+                t: idf[t] * (c * (self.k1 + 1.0)) / (c + norm) for t, c in tf.items()
+            })
+        self._index = SparseImpactIndex(
+            vocab_size=max(len(self.term_to_id), 1),
+            mesh=self.mesh,
+            quantization_factor=self.quantization_factor,
+        )
+        self._index.add(vecs, quantize=True)
+
+    def search(self, query_texts: Sequence[str], k: int):
+        self._finalize()
+        queries: list[SparseVec] = []
+        for text in query_texts:
+            cnt = Counter(
+                self.term_to_id[t] for t in self.analyzer(text) if t in self.term_to_id
+            )
+            queries.append({t: float(c) for t, c in cnt.items()})
+        return self._index.search(queries, k)

@@ -1,0 +1,122 @@
+"""Exact kNN engine tests: parity vs numpy brute force, sharded vs single."""
+import numpy as np
+import pytest
+
+from lightretriever_tpu.retriever.knn import (
+    BinaryIndex,
+    FlatIPIndex,
+    PCAIndex,
+    SQIndex,
+    merge_topk,
+)
+
+
+def _data(rng, n=100, d=32, q=7):
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    return corpus, queries
+
+
+def _brute(queries, corpus, k):
+    scores = queries @ corpus.T
+    ids = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, ids, axis=1), ids
+
+
+def test_merge_topk(rng):
+    sa = rng.standard_normal((3, 5)).astype(np.float32)
+    ia = rng.integers(0, 100, (3, 5)).astype(np.int64)
+    sb = rng.standard_normal((3, 4)).astype(np.float32)
+    ib = rng.integers(100, 200, (3, 4)).astype(np.int64)
+    s, i = merge_topk(sa, ia, sb, ib, 6)
+    all_s = np.concatenate([sa, sb], axis=1)
+    want = -np.sort(-all_s, axis=1)[:, :6]
+    np.testing.assert_allclose(s, want)
+    assert (np.diff(s, axis=1) <= 0).all()
+
+
+def test_flat_single_device_exact(rng):
+    corpus, queries = _data(rng)
+    idx = FlatIPIndex(mesh=None, dtype=np.float32)
+    idx.add(corpus)
+    s, i = idx.search(queries, 10)
+    ws, wi = _brute(queries, corpus, 10)
+    np.testing.assert_array_equal(i, wi)
+    np.testing.assert_allclose(s, ws, rtol=1e-5)
+
+
+def test_flat_sharded_matches_single(rng, mesh8):
+    corpus, queries = _data(rng, n=103)  # non-divisible: exercises padding
+    idx = FlatIPIndex(mesh=mesh8, dtype=np.float32)
+    idx.add(corpus)
+    s, i = idx.search(queries, 10)
+    ws, wi = _brute(queries, corpus, 10)
+    np.testing.assert_array_equal(i, wi)
+    np.testing.assert_allclose(s, ws, rtol=1e-5)
+
+
+def test_flat_k_larger_than_shard(rng, mesh8):
+    corpus, queries = _data(rng, n=16, q=3)
+    idx = FlatIPIndex(mesh=mesh8, dtype=np.float32)
+    idx.add(corpus)
+    s, i = idx.search(queries, 12)  # k > rows-per-shard (2)
+    ws, wi = _brute(queries, corpus, 12)
+    np.testing.assert_array_equal(i, wi)
+
+
+def test_flat_streamed_matches_resident(rng, mesh8):
+    corpus, queries = _data(rng, n=90)
+    idx = FlatIPIndex(mesh=mesh8, dtype=np.float32)
+    idx.add(corpus[:40])
+    idx.add(corpus[40:])
+    s1, i1 = idx.search(queries, 8)
+    s2, i2 = idx.search_streamed(queries, 8, chunk_rows=32)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_mrl_dim_slice(rng):
+    corpus, queries = _data(rng)
+    idx = FlatIPIndex(mesh=None, dtype=np.float32)
+    idx.add(corpus)
+    s, i = idx.search(queries, 5, dim=8)
+    ws, wi = _brute(queries[:, :8], corpus[:, :8], 5)
+    np.testing.assert_array_equal(i, wi)
+
+
+def test_sq_index_close_to_exact(rng):
+    corpus, queries = _data(rng, n=60)
+    idx = SQIndex(mesh=None)
+    idx.add(corpus)
+    s, i = idx.search(queries, 5)
+    ws, wi = _brute(queries, corpus, 5)
+    # int8 quantization: top-1 should almost always survive
+    assert (i[:, 0] == wi[:, 0]).mean() >= 0.7
+    np.testing.assert_allclose(s[:, 0], ws[:, 0], rtol=0.1, atol=0.5)
+
+
+def test_binary_index_rerank_recovers_exact(rng):
+    corpus, queries = _data(rng, n=60)
+    idx = BinaryIndex(mesh=None)
+    idx.add(corpus)
+    s, i = idx.search(queries, 5, rerank=True, factor=6)
+    ws, wi = _brute(queries, corpus, 5)
+    # After fp rerank of a wide candidate set, top-1 usually matches
+    assert (i[:, 0] == wi[:, 0]).mean() >= 0.7
+
+
+def test_pca_index(rng):
+    corpus, queries = _data(rng, n=80, d=32)
+    idx = PCAIndex(out_dim=16, mesh=None, dtype=np.float32)
+    idx.add(corpus)
+    s, i = idx.search(queries, 5)
+    assert s.shape == (7, 5)
+    assert (i >= 0).all() and (i < 80).all()
+
+
+def test_empty_and_padding_ids(rng, mesh8):
+    corpus, queries = _data(rng, n=3, q=2)
+    idx = FlatIPIndex(mesh=mesh8, dtype=np.float32)
+    idx.add(corpus)
+    s, i = idx.search(queries, 3)
+    assert (i < 3).all() and (i >= 0).all()

@@ -1,0 +1,109 @@
+"""Sparse impact scorer + BM25 tests: parity vs naive dense scoring."""
+import numpy as np
+import pytest
+
+from lightretriever_tpu.retriever.sparse_scorer import (
+    BM25Index,
+    SparseImpactIndex,
+    lucene_analyze,
+    pack_sparse_vecs,
+    quantize_vecs,
+)
+
+V = 64
+
+
+def _rand_sparse(rng, n, nnz=6, vmax=3.0):
+    vecs = []
+    for _ in range(n):
+        ids = rng.choice(V, size=nnz, replace=False)
+        vecs.append({int(t): float(rng.uniform(0.1, vmax)) for t in ids})
+    return vecs
+
+
+def _dense(vecs):
+    m = np.zeros((len(vecs), V), np.float32)
+    for i, v in enumerate(vecs):
+        for t, x in v.items():
+            m[i, t] = x
+    return m
+
+
+def test_pack_and_quantize(rng):
+    vecs = _rand_sparse(rng, 5)
+    ids, vals = pack_sparse_vecs(vecs)
+    assert ids.shape == vals.shape
+    qv = quantize_vecs(vecs, 100)
+    for orig, q in zip(vecs, qv):
+        for t, x in q.items():
+            assert x == float(int(orig[t] * 100))
+            assert x > 0
+
+
+def test_impact_search_exact(rng):
+    docs = _rand_sparse(rng, 40)
+    queries = _rand_sparse(rng, 5, nnz=4)
+    idx = SparseImpactIndex(vocab_size=V, quantization_factor=100)
+    idx.add(docs)
+    s, i = idx.search(queries, 10)
+    # naive: quantized dense matmul
+    dq = _dense(quantize_vecs(docs, 100))
+    qm = _dense(queries)
+    want = qm @ dq.T
+    wi = np.argsort(-want, axis=1)[:, :10]
+    ws = np.take_along_axis(want, wi, axis=1)
+    np.testing.assert_allclose(s, ws, rtol=1e-5)
+
+
+def test_impact_search_chunked_and_sharded(rng, mesh8):
+    docs = _rand_sparse(rng, 37)
+    queries = _rand_sparse(rng, 4, nnz=4)
+    ref = SparseImpactIndex(vocab_size=V)
+    ref.add(docs)
+    rs, ri = ref.search(queries, 7)
+
+    idx = SparseImpactIndex(vocab_size=V, mesh=mesh8, chunk_docs=16)
+    idx.add(docs[:20])
+    idx.add(docs[20:])
+    s, i = idx.search(queries, 7)
+    np.testing.assert_allclose(s, rs, rtol=1e-5)
+    np.testing.assert_array_equal(i, ri)
+
+
+def test_query_dense_matrix_input(rng):
+    docs = _rand_sparse(rng, 20)
+    idx = SparseImpactIndex(vocab_size=V)
+    idx.add(docs)
+    qm = _dense(_rand_sparse(rng, 3, nnz=4))
+    s, i = idx.search(qm, 5)
+    assert s.shape == (3, 5)
+
+
+def test_lucene_analyze():
+    toks = lucene_analyze("The quick-brown FOX, and a dog!")
+    assert toks == ["quick", "brown", "fox", "dog"]
+
+
+def test_bm25_ranks_relevant_doc_first():
+    docs = [
+        "the cat sat on the mat",
+        "dogs chase cats in the park",
+        "quantum computing with superconducting qubits",
+        "a recipe for chocolate cake with cocoa",
+        "tpu pods interconnect chips with high bandwidth links",
+    ]
+    idx = BM25Index()
+    idx.add(docs)
+    s, i = idx.search(["chocolate cake recipe", "tpu interconnect bandwidth"], k=3)
+    assert i[0, 0] == 3
+    assert i[1, 0] == 4
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_bm25_sharded(mesh8):
+    docs = [f"document number {i} about topic {i % 5}" for i in range(30)]
+    docs[17] = "zebra giraffe elephant safari"
+    idx = BM25Index(mesh=mesh8)
+    idx.add(docs)
+    s, i = idx.search(["zebra safari elephant"], k=5)
+    assert i[0, 0] == 17
