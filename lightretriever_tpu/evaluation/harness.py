@@ -1,0 +1,198 @@
+"""Evaluation harness: BEIR-format retrieval eval over any searcher.
+
+Behavioral parity with the reference's eval layer
+(reference: eval/eval_utils.py:27-196, eval/evaluate_mteb.py:53-139) minus the
+torch-RPC bring-up: on TPU the encoder is already SPMD, so ``launch_eval``
+is a plain loop — no rank gating, no TensorPipe transport lists, no
+``_wait_all_workers`` barrier.
+
+* ``init_searcher`` maps model type -> searcher exactly like the reference
+  (HybridModel -> HybridSearch, EncoderModel -> flat dense search,
+  DummyModel -> BM25 sparse search; eval_utils.py:27-88).
+* ``load_beir_dataset`` reads the standard BEIR layout (corpus.jsonl,
+  queries.jsonl, qrels/<split>.tsv).
+* metrics come from evaluation/metrics.py (pytrec_eval-compatible
+  definitions); the optional ``mteb`` package is used when installed.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import time
+from typing import Any, Optional
+
+from .metrics import evaluate_retrieval, mrr_at_k, recall_cap_at_k, top_k_accuracy
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Data loading (BEIR layout)
+# ---------------------------------------------------------------------------
+def load_jsonl(path: str) -> list[dict]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def load_beir_dataset(
+    data_dir: str, split: str = "test"
+) -> tuple[dict[str, dict], dict[str, str], dict[str, dict[str, int]]]:
+    """Returns (corpus {pid: {title, text}}, queries {qid: text},
+    qrels {qid: {pid: rel}})."""
+    corpus = {}
+    for rec in load_jsonl(os.path.join(data_dir, "corpus.jsonl")):
+        pid = str(rec.get("_id", rec.get("id")))
+        corpus[pid] = {"title": rec.get("title", ""), "text": rec.get("text", "")}
+    queries = {}
+    for rec in load_jsonl(os.path.join(data_dir, "queries.jsonl")):
+        queries[str(rec.get("_id", rec.get("id")))] = rec.get("text", "")
+    qrels: dict[str, dict[str, int]] = {}
+    qrels_path = os.path.join(data_dir, "qrels", f"{split}.tsv")
+    with open(qrels_path) as f:
+        reader = csv.reader(f, delimiter="\t")
+        header = next(reader)
+        if header and header[0].lower() not in ("query-id", "qid"):
+            f.seek(0)
+            reader = csv.reader(f, delimiter="\t")
+        for row in reader:
+            if len(row) < 3:
+                continue
+            qid, pid, rel = row[0], row[1], int(row[2])
+            qrels.setdefault(str(qid), {})[str(pid)] = rel
+    # Keep only queries with qrels (BEIR convention)
+    queries = {qid: q for qid, q in queries.items() if qid in qrels}
+    return corpus, queries, qrels
+
+
+# ---------------------------------------------------------------------------
+# Searcher construction (parity: init_searcher, eval_utils.py:27-88)
+# ---------------------------------------------------------------------------
+def init_searcher(encoder, eval_args, mesh=None, vocab_size: Optional[int] = None):
+    """Map encoder type -> searcher."""
+    from ..inference.encode import DummyModel, SpmdEncoder
+    from ..models.hybrid import HybridModel
+    from ..retriever.search import DenseRetrievalSearch, HybridSearch, SparseSearch
+
+    if isinstance(encoder, DummyModel):
+        return SparseSearch(model=encoder, mesh=mesh, bm25=True)
+
+    model = encoder.model if isinstance(encoder, SpmdEncoder) else encoder
+    common = dict(
+        mesh=mesh,
+        batch_size=getattr(eval_args, "encode_batch_size", 64),
+        corpus_chunk_size=getattr(eval_args, "corpus_chunk_size", 100_000),
+    )
+    if isinstance(model, HybridModel):
+        return HybridSearch(
+            encoder,
+            vocab_size=vocab_size or model.config_qry.vocab_size,
+            fuse_weights=getattr(eval_args, "fuse_weights", (0.7, 0.3)),
+            fuse_method=getattr(eval_args, "fuse_method", "linear"),
+            quantization_factor=getattr(eval_args, "quantization_factor", 100),
+            **common,
+        )
+    return DenseRetrievalSearch(encoder, index_type="flat", **common)
+
+
+# ---------------------------------------------------------------------------
+# Eval driver
+# ---------------------------------------------------------------------------
+def evaluate_task(
+    searcher,
+    corpus: dict[str, dict],
+    queries: dict[str, str],
+    qrels: dict[str, dict[str, int]],
+    top_k: int = 1000,
+    k_values: tuple[int, ...] = (1, 3, 5, 10, 100, 1000),
+    ignore_identical_ids: bool = False,
+) -> dict[str, Any]:
+    """search + score one task; returns {'metrics', 'results', 'timing'}."""
+    t0 = time.perf_counter()
+    results = searcher.search(corpus, queries, top_k=top_k,
+                              ignore_identical_ids=ignore_identical_ids)
+    t_search = time.perf_counter() - t0
+    if isinstance(results, dict) and results and \
+            isinstance(next(iter(results.values())), dict) and \
+            results.keys() - set(queries.keys()):
+        # return_all_results=True shape: {system: {qid: {pid: score}}}
+        metrics = {name: _score(qrels, res, k_values) for name, res in results.items()}
+    else:
+        metrics = _score(qrels, results, k_values)
+    return {
+        "metrics": metrics,
+        "results": results,
+        "timing": {"search_s": t_search, "qps": len(queries) / max(t_search, 1e-9)},
+    }
+
+
+def _score(qrels, results, k_values) -> dict[str, float]:
+    kv = list(k_values)
+    metrics = evaluate_retrieval(qrels, results, k_values=kv)
+    metrics.update(mrr_at_k(qrels, results, kv))
+    metrics.update(recall_cap_at_k(qrels, results, kv))
+    metrics.update(top_k_accuracy(qrels, results, kv))
+    return metrics
+
+
+def launch_eval(
+    eval_args,
+    encoder,
+    task_dirs: dict[str, str],
+    mesh=None,
+    split: str = "test",
+) -> dict[str, Any]:
+    """Loop tasks: load -> search -> score -> save (parity:
+    launch_eval + call_evaluate, eval_utils.py:91-196). ``task_dirs``:
+    {task_name: beir_data_dir}."""
+    searcher = init_searcher(encoder, eval_args, mesh=mesh)
+    out_dir = getattr(eval_args, "output_dir", "./eval_results")
+    os.makedirs(out_dir, exist_ok=True)
+    all_metrics: dict[str, Any] = {}
+    for task, data_dir in task_dirs.items():
+        logger.info("Evaluating task %s from %s", task, data_dir)
+        corpus, queries, qrels = load_beir_dataset(data_dir, split=split)
+        res = evaluate_task(
+            searcher, corpus, queries, qrels,
+            top_k=getattr(eval_args, "top_k", 1000),
+            k_values=tuple(getattr(eval_args, "k_values", (1, 3, 5, 10, 100, 1000))),
+            ignore_identical_ids=(task.lower() in ("quoraretrieval", "arguana")),
+        )
+        all_metrics[task] = res["metrics"]
+        with open(os.path.join(out_dir, f"{task}.json"), "w") as f:
+            json.dump({"metrics": res["metrics"], "timing": res["timing"]}, f, indent=2)
+        if getattr(eval_args, "save_predictions", False):
+            pred_dir = getattr(eval_args, "prediction_dir", None) or out_dir
+            os.makedirs(pred_dir, exist_ok=True)
+            with open(os.path.join(pred_dir, f"{task}_predictions.json"), "w") as f:
+                json.dump(res["results"], f)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(all_metrics, f, indent=2)
+    return all_metrics
+
+
+def call_evaluate_mteb(eval_args, encoder, mesh=None):
+    """MTEB driver (parity: evaluate_mteb.py:53-139). Requires the optional
+    ``mteb`` package; the searcher plugs in through its ``search`` method."""
+    try:
+        import mteb
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise ImportError(
+            "mteb is not installed; use launch_eval with BEIR-format data dirs"
+        ) from e
+    searcher = init_searcher(encoder, eval_args, mesh=mesh)
+    tasks = mteb.get_tasks(tasks=list(eval_args.task_names),
+                           languages=list(eval_args.task_langs))
+    evaluation = mteb.MTEB(tasks=tasks)
+    return evaluation.run(
+        searcher,
+        output_folder=eval_args.output_dir,
+        corpus_chunk_size=eval_args.corpus_chunk_size,
+        top_k=eval_args.top_k,
+    )

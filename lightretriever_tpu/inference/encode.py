@@ -1,0 +1,251 @@
+"""SPMD encoding engine — replaces the reference's RPC encode farm.
+
+The reference fans tokenized chunks from rank0 to GPU workers over torch-RPC
+with feeder threads, backpressure windows and retry loops
+(reference: inference/exact_search_torchrpc.py:50-384, eval/eval_utils.py:
+120-193). On TPU all of that machinery collapses into SPMD: one jit-compiled
+encode step over a device mesh; the host tokenizes and feeds batch-sharded
+arrays; XLA schedules the chips. The "debug" single-process path
+(exact_search_torchrpc.py:172-173) is simply mesh=None.
+
+``SpmdEncoder`` implements the BEIR/MTEB DRES facade
+(``encode_queries`` / ``encode_corpus`` / ``encode``,
+parity: inference/exact_search_base.py:43-263) plus the EmbeddingBag
+build-and-cache flow (exact_search_torchrpc.py:139-170).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..arguments import InferenceArguments
+from .collator import EncodeCollator, parse_texts
+from .converter import (
+    convert_sparse_reps_to_json,
+    convert_sparse_reps_to_pseudo_text,
+)
+from .embedding_bag import construct_embedding_bag
+
+logger = logging.getLogger(__name__)
+
+_DEVICE_KEYS = (
+    "input_ids", "attention_mask", "unique_token_ids",
+    "emb_bag_ids", "emb_bag_mask",
+)
+
+
+class SpmdEncoder:
+    """Mesh-parallel batch encoder over an EncoderModel / HybridModel."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer,
+        args: Optional[InferenceArguments] = None,
+        mesh=None,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.args = args or InferenceArguments()
+        self.mesh = mesh
+        self.query_prompt: Optional[str] = None
+        self.corpus_prompt: Optional[str] = None
+        self.emb_bag: Optional[jax.Array] = None
+        self._jit_cache: dict[Any, Any] = {}
+
+        if mesh is not None:
+            from ..parallel.mesh import replicated_sharding
+
+            params = jax.device_put(params, replicated_sharding(mesh))
+        self.params = params
+
+        ma = self.model.model_args
+        collator_kwargs = dict(
+            tokenizer=tokenizer,
+            q_max_len=getattr(self.args, "q_max_len", 512),
+            p_max_len=getattr(self.args, "p_max_len", 512),
+            noncontextual_query_embedding=ma.noncontextual_query_embedding,
+            noncontextual_prompt_prefix=ma.noncontextual_prompt_prefix,
+            token_id_vector_type=ma.token_id_vector_type,
+            use_word_pretokenizer=ma.use_icu_word_pretokenizer,
+            sparse_remove_stopwords=ma.sparse_remove_stopwords,
+        )
+        self.q_collator = EncodeCollator(encode_is_query=True, **collator_kwargs)
+        self.p_collator = EncodeCollator(encode_is_query=False, **collator_kwargs)
+
+    # -- EmbeddingBag --------------------------------------------------------
+    def cache_emb_bag(self, prompt: Optional[str] = None, table: Optional[np.ndarray] = None):
+        """Build (or install) the [V, H] table for asymmetric-dense queries
+        (parity: exact_search_torchrpc.py:139-170 + emb_bag_mixin.py)."""
+        if table is None:
+            table = construct_embedding_bag(
+                self.model, self.params, self.tokenizer,
+                prompt=prompt or self.model.model_args.noncontextual_prompt_prefix or "",
+                batch_size=self.args.emb_bag_construct_batch_size,
+                mesh=self.mesh,
+            )
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated_sharding
+
+            self.emb_bag = jax.device_put(
+                jnp.asarray(table, jnp.float32), replicated_sharding(self.mesh)
+            )
+        else:
+            self.emb_bag = jnp.asarray(table, jnp.float32)
+        return table
+
+    # -- jit encode ----------------------------------------------------------
+    def _encode_fn(self, is_query: bool, with_emb_bag: bool):
+        key = (is_query, with_emb_bag)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model = self.model
+
+        if is_query:
+            def fn(params, batch, emb_bag=None):
+                return model.encode_query(
+                    params, batch, training=False, emb_bag=emb_bag,
+                ) if _is_hybrid(model) else model.encode_query(params, batch)
+        else:
+            def fn(params, batch, emb_bag=None):
+                return model.encode_passage(params, batch) if _is_hybrid(model) \
+                    else model.encode_passage(params, batch)
+
+        jfn = jax.jit(fn)
+        self._jit_cache[key] = jfn
+        return jfn
+
+    def _device_batch(self, batch: dict) -> dict:
+        dev = {k: np.asarray(v) for k, v in batch.items() if k in _DEVICE_KEYS}
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            dev = shard_batch(self.mesh, dev)
+        return dev
+
+    def _pad_batch(self, items: list, batch_size: int) -> tuple[list, int]:
+        n = len(items)
+        if n < batch_size:
+            items = items + [items[-1]] * (batch_size - n)
+        return items, n
+
+    # -- public encode facade (BEIR DRES API) --------------------------------
+    def encode_queries(self, queries, batch_size: Optional[int] = None, **kwargs):
+        return self._encode(
+            parse_texts(queries, prompt=self.query_prompt),
+            batch_size or self.args.encode_batch_size, encode_is_query=True, **kwargs
+        )
+
+    def encode_corpus(self, corpus, batch_size: Optional[int] = None, **kwargs):
+        return self._encode(
+            parse_texts(corpus, prompt=self.corpus_prompt),
+            batch_size or self.args.encode_batch_size, encode_is_query=False, **kwargs
+        )
+
+    def encode(self, sentences, batch_size: Optional[int] = None, **kwargs):
+        return self.encode_corpus(sentences, batch_size, **kwargs)
+
+    def _encode(
+        self, items: list[dict], batch_size: int, encode_is_query: bool, **encoding_kwargs
+    ):
+        """Chunked encode loop (the SPMD replacement of the RPC dispatch loop,
+        exact_search_torchrpc.py:211-295). Returns a single array (plain
+        EncoderModel) or a dict of rep-type -> array/list (HybridModel)."""
+        collator = self.q_collator if encode_is_query else self.p_collator
+        if self.mesh is not None:
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            batch_size = max(batch_size // n_dev, 1) * n_dev
+
+        outs: list = []
+        for lo in range(0, len(items), batch_size):
+            chunk, n_valid = self._pad_batch(items[lo: lo + batch_size], batch_size)
+            host_batch = collator(chunk)
+            reps = self._call_batch_encode(
+                host_batch, encode_is_query, n_valid, **encoding_kwargs
+            )
+            outs.append(reps)
+        return _concat_outputs(outs)
+
+    def _call_batch_encode(
+        self, host_batch: dict, encode_is_query: bool, n_valid: int,
+        anserini_vector_type: Optional[str] = None, **encoding_kwargs,
+    ):
+        """One device step + host postprocessing
+        (parity: call_batch_encode, exact_search_base.py:204-263)."""
+        dev = self._device_batch(host_batch)
+        with_bag = self.emb_bag is not None and encode_is_query
+        fn = self._encode_fn(encode_is_query, with_bag)
+        reps = fn(self.params, dev, self.emb_bag) if _is_hybrid(self.model) \
+            else fn(self.params, dev)
+
+        qf = self.args.quantization_factor
+        fmt = anserini_vector_type or self.args.anserini_vector_type
+        if isinstance(reps, dict):
+            out: dict[str, Any] = {}
+            for k, v in reps.items():
+                if k == "sparse_reps":
+                    arr = np.asarray(v, np.float32)[:n_valid]
+                    if encode_is_query:
+                        out[k] = convert_sparse_reps_to_pseudo_text(arr, qf)
+                    elif fmt in ("json", "JsonVectorCollection"):
+                        out[k] = convert_sparse_reps_to_json(arr, qf)
+                    else:
+                        out[k] = convert_sparse_reps_to_pseudo_text(arr, qf)
+                elif k == "token_id_reps":
+                    key = "token_id_reps_str" if encode_is_query else "token_id_reps_json"
+                    out[k] = host_batch[key][:n_valid]
+                else:
+                    out[k] = np.asarray(v, np.float32)[:n_valid]
+            return out
+        return np.asarray(reps, np.float32)[:n_valid]
+
+
+def _is_hybrid(model) -> bool:
+    from ..models.hybrid import HybridModel
+
+    return isinstance(model, HybridModel)
+
+
+def _concat_outputs(outs: list):
+    if not outs:
+        return np.zeros((0,))
+    first = outs[0]
+    if isinstance(first, np.ndarray):
+        return np.concatenate(outs, axis=0)
+    merged: dict[str, Any] = {}
+    for k in first:
+        vals = [o[k] for o in outs]
+        if isinstance(vals[0], np.ndarray):
+            merged[k] = np.concatenate(vals, axis=0)
+        else:
+            merged[k] = [x for v in vals for x in v]
+    return merged
+
+
+class DummyModel:
+    """Raw-text passthrough encoder enabling the BM25 end-to-end baseline
+    (parity: inference/dummy.py:11-63)."""
+
+    def __init__(self, *_, **__):
+        self.query_prompt = None
+        self.corpus_prompt = None
+
+    @staticmethod
+    def _texts(items) -> list[str]:
+        from .collator import format_text
+
+        return [format_text(t) if isinstance(t, dict) else str(t)
+                for t in items]
+
+    def encode_queries(self, queries, batch_size: int = 0, **kwargs) -> list[str]:
+        return self._texts(queries)
+
+    def encode_corpus(self, corpus, batch_size: int = 0, **kwargs) -> list[str]:
+        return self._texts(corpus)
+
+    encode = encode_corpus

@@ -1,0 +1,351 @@
+"""Search strategies: chunked corpus encode -> index -> retrieve -> merge.
+
+Behavioral parity with the reference's search layer
+(reference: retriever/faiss_search.py:46-622 for dense,
+retriever/anserini_search.py:31-335 for sparse): a searcher owns an encoder
+("model" with the BEIR DRES encode facade) and an index engine, streams the
+corpus in chunks, and returns ``{qid: {pid: score}}``.
+
+Redesigns:
+* the per-chunk "heap" merge becomes the vectorized ``merge_topk``;
+* Faiss index families map to the TPU kNN INDEX_REGISTRY (knn.py);
+* Anserini jsonl-dump + JVM calls become in-memory SparseImpactIndex feeds.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from .knn import INDEX_REGISTRY, merge_topk
+from .sparse_scorer import BM25Index, SparseImpactIndex
+
+logger = logging.getLogger(__name__)
+
+Results = dict[str, dict[str, float]]
+
+
+def _parse_ids_texts(obj, id_names=("id", "_id", "docid", "doc_id", "query_id")):
+    """dict[id->text|record] | list -> (ids, items)."""
+    if isinstance(obj, dict):
+        ids = list(obj.keys())
+        return ids, [obj[i] for i in ids]
+    ids = []
+    items = []
+    for i, x in enumerate(obj):
+        if isinstance(x, dict):
+            found = next((n for n in id_names if n in x), None)
+            ids.append(str(x[found]) if found else str(i))
+        else:
+            ids.append(str(i))
+        items.append(x)
+    return ids, items
+
+
+def _topk_to_results(scores: np.ndarray, ids: np.ndarray, query_ids: list[str],
+                     corpus_ids: Sequence[str]) -> Results:
+    out: Results = {}
+    for qi, qid in enumerate(query_ids):
+        row: dict[str, float] = {}
+        for s, i in zip(scores[qi], ids[qi]):
+            if i >= 0 and np.isfinite(s):
+                row[corpus_ids[int(i)]] = float(s)
+        out[qid] = row
+    return out
+
+
+def merge_results(a: Results, b: Results, top_k: int) -> Results:
+    """Union per-query candidate sets, keep top-k (the heap-merge of
+    faiss_search.py:273-292)."""
+    out: Results = {}
+    for qid in set(a) | set(b):
+        row = dict(a.get(qid, {}))
+        row.update(b.get(qid, {}))
+        if len(row) > top_k:
+            row = dict(sorted(row.items(), key=lambda kv: -kv[1])[:top_k])
+        out[qid] = row
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dense search
+# ---------------------------------------------------------------------------
+class DenseRetrievalSearch:
+    """Chunked dense retrieval over the exact kNN engine
+    (parity: DenseRetrievalFaissSearch, faiss_search.py:46-293)."""
+
+    def __init__(
+        self,
+        model,
+        index_type: str = "flat",
+        mesh=None,
+        batch_size: int = 64,
+        corpus_chunk_size: int = 100_000,
+        mrl_dim: Optional[int] = None,
+        rep_key: str = "dense_reps",
+        **index_kwargs,
+    ):
+        self.model = model
+        self.index_type = index_type
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.corpus_chunk_size = corpus_chunk_size
+        self.mrl_dim = mrl_dim
+        self.rep_key = rep_key
+        self.index_kwargs = index_kwargs
+        self._index = None
+        self._chunk_ids: list[str] = []
+
+    def _new_index(self):
+        cls = INDEX_REGISTRY[self.index_type]
+        return cls(mesh=self.mesh, **self.index_kwargs)
+
+    def _extract(self, embeddings) -> np.ndarray:
+        if isinstance(embeddings, dict):
+            embeddings = embeddings[self.rep_key]
+        return np.asarray(embeddings, np.float32)
+
+    # -- chunk-level API used by HybridSearch --------------------------------
+    def index(self, embeddings, corpus_ids: Sequence[str]) -> None:
+        self._index = self._new_index()
+        self._index.add(self._extract(embeddings))
+        self._chunk_ids = list(corpus_ids)
+
+    def retrieve_with_emb(self, query_emb, query_ids: list[str], top_k: int) -> Results:
+        q = self._extract(query_emb)
+        s, i = self._index.search(q, min(top_k, len(self._chunk_ids)), dim=self.mrl_dim)
+        return _topk_to_results(s, i, query_ids, self._chunk_ids)
+
+    def clear(self) -> None:
+        self._index = None
+        self._chunk_ids = []
+
+    # -- full search ----------------------------------------------------------
+    def search(self, corpus, queries, top_k: int = 1000,
+               ignore_identical_ids: bool = False, **kwargs) -> Results:
+        query_ids, query_list = _parse_ids_texts(queries)
+        corpus_ids, corpus_list = _parse_ids_texts(corpus)
+        q_emb = self._extract(self.model.encode_queries(query_list, batch_size=self.batch_size))
+
+        results: Results = {qid: {} for qid in query_ids}
+        for lo in range(0, len(corpus_list), self.corpus_chunk_size):
+            hi = min(lo + self.corpus_chunk_size, len(corpus_list))
+            logger.info("Dense search chunk %d..%d / %d", lo, hi, len(corpus_list))
+            sub_emb = self.model.encode_corpus(corpus_list[lo:hi], batch_size=self.batch_size)
+            self.index(sub_emb, corpus_ids[lo:hi])
+            sub = self.retrieve_with_emb(q_emb, query_ids, top_k)
+            if ignore_identical_ids:
+                for qid in sub:
+                    sub[qid].pop(qid, None)
+            results = merge_results(results, sub, top_k)
+            self.clear()
+        return results
+
+
+# ---------------------------------------------------------------------------
+# Sparse search
+# ---------------------------------------------------------------------------
+def _parse_sparse_query(q) -> dict[int, float]:
+    """pseudo-text 'id id id' | json dict -> {token_id: weight}."""
+    if isinstance(q, dict):
+        return {int(k): float(v) for k, v in q.items()}
+    counts: dict[int, float] = {}
+    for tok in str(q).split():
+        t = int(tok)
+        counts[t] = counts.get(t, 0.0) + 1.0
+    return counts
+
+
+class SparseSearch:
+    """Impact search over SparseImpactIndex (parity: AnseriniSearch,
+    anserini_search.py:31-335, impact scoring mode)."""
+
+    def __init__(
+        self,
+        model=None,
+        vocab_size: int = 32000,
+        mesh=None,
+        batch_size: int = 64,
+        quantization_factor: int = 100,
+        bm25: bool = False,
+        bm25_k1: float = 0.9,
+        bm25_b: float = 0.4,
+    ):
+        self.model = model
+        self.vocab_size = vocab_size
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.quantization_factor = quantization_factor
+        self.bm25 = bm25
+        self.bm25_k1, self.bm25_b = bm25_k1, bm25_b
+        self._index: Optional[SparseImpactIndex | BM25Index] = None
+        self._corpus_ids: list[str] = []
+
+    def _ensure_index(self):
+        if self._index is None:
+            if self.bm25:
+                self._index = BM25Index(mesh=self.mesh, k1=self.bm25_k1, b=self.bm25_b)
+            else:
+                self._index = SparseImpactIndex(
+                    vocab_size=self.vocab_size, mesh=self.mesh,
+                    quantization_factor=self.quantization_factor,
+                )
+        return self._index
+
+    def index(self, docs, corpus_ids: Sequence[str]) -> None:
+        """Add a corpus chunk. ``docs``: list of json dicts (impact vectors,
+        already quantized by the converter) or raw strings (BM25 mode)."""
+        idx = self._ensure_index()
+        if self.bm25:
+            idx.add([str(d) for d in docs])
+        else:
+            vecs = [_parse_sparse_query(d) for d in docs]
+            # Converter already quantized (floor x100); don't double-quantize
+            idx.add(vecs, quantize=False)
+        self._corpus_ids.extend(corpus_ids)
+
+    def retrieve_with_emb(self, query_emb, query_ids: list[str], top_k: int) -> Results:
+        assert self._index is not None, "index a corpus first"
+        k = min(top_k, len(self._corpus_ids))
+        if self.bm25:
+            s, i = self._index.search([str(q) for q in query_emb], k)
+        else:
+            queries = [_parse_sparse_query(q) for q in query_emb]
+            s, i = self._index.search(queries, k)
+        return _topk_to_results(s, i, query_ids, self._corpus_ids)
+
+    def clear(self) -> None:
+        self._index = None
+        self._corpus_ids = []
+
+    def search(self, corpus, queries, top_k: int = 1000, **kwargs) -> Results:
+        """Full sparse search (BM25 path: model is DummyModel returning raw
+        text, the reference's BM25 baseline wiring, eval_utils.py:61-88)."""
+        query_ids, query_list = _parse_ids_texts(queries)
+        corpus_ids, corpus_list = _parse_ids_texts(corpus)
+        if self.model is not None:
+            q_emb = self.model.encode_queries(query_list, batch_size=self.batch_size)
+            c_emb = self.model.encode_corpus(corpus_list, batch_size=self.batch_size)
+            if isinstance(q_emb, dict):
+                q_emb = q_emb.get("sparse_reps") or q_emb.get("token_id_reps")
+            if isinstance(c_emb, dict):
+                c_emb = c_emb["sparse_reps"]
+        else:
+            q_emb, c_emb = query_list, corpus_list
+        self.clear()
+        self.index(c_emb, corpus_ids)
+        out = self.retrieve_with_emb(q_emb, query_ids, top_k)
+        self.clear()
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search
+# ---------------------------------------------------------------------------
+class HybridSearch:
+    """Dense + sparse + asymmetric retrieval with rank fusion
+    (parity: retriever/hybrid_search.py:25-403)."""
+
+    def __init__(
+        self,
+        model,
+        vocab_size: int = 32000,
+        mesh=None,
+        batch_size: int = 64,
+        corpus_chunk_size: int = 100_000,
+        dense_index_type: str = "flat",
+        fuse_weights: Sequence[float] = (0.7, 0.3),
+        fuse_method: str = "linear",
+        mrl_dim: Optional[int] = None,
+        return_all_results: bool = False,
+        quantization_factor: int = 100,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.corpus_chunk_size = corpus_chunk_size
+        self.fuse_weights = list(fuse_weights)
+        self.fuse_method = fuse_method
+        self.return_all_results = return_all_results
+        self.dense_search = DenseRetrievalSearch(
+            model, index_type=dense_index_type, mesh=mesh,
+            batch_size=batch_size, corpus_chunk_size=corpus_chunk_size,
+            mrl_dim=mrl_dim,
+        )
+        self.sparse_search = SparseSearch(
+            model, vocab_size=vocab_size, mesh=mesh, batch_size=batch_size,
+            quantization_factor=quantization_factor,
+        )
+
+    def _fuse(self, a: Results, b: Results) -> Results:
+        from .fusion import fuse
+
+        if self.fuse_method == "linear":
+            return fuse([a, b], method="linear", weights=self.fuse_weights)
+        return fuse([a, b], method="rrf")
+
+    def search(self, corpus, queries, top_k: int = 1000,
+               ignore_identical_ids: bool = False, **kwargs):
+        query_ids, query_list = _parse_ids_texts(queries)
+        corpus_ids, corpus_list = _parse_ids_texts(corpus)
+
+        logger.info("Encoding %d queries...", len(query_ids))
+        q_emb = self.model.encode_queries(query_list, batch_size=self.batch_size)
+        assert isinstance(q_emb, dict)
+        use_dense = "dense_reps" in q_emb
+        use_sparse = "sparse_reps" in q_emb
+        use_emb = "emb_reps" in q_emb
+        use_tok = "token_id_reps" in q_emb
+
+        dense_results: Results = {qid: {} for qid in query_ids}
+        emb_results: Results = {qid: {} for qid in query_ids}
+
+        for lo in range(0, len(corpus_list), self.corpus_chunk_size):
+            hi = min(lo + self.corpus_chunk_size, len(corpus_list))
+            logger.info("Corpus chunk %d..%d / %d", lo, hi, len(corpus_list))
+            sub_emb = self.model.encode_corpus(corpus_list[lo:hi], batch_size=self.batch_size)
+            ids_chunk = corpus_ids[lo:hi]
+
+            # Dense retrieval per chunk (reference :306-344)
+            if use_dense or use_emb:
+                self.dense_search.index(sub_emb["dense_reps"], ids_chunk)
+                if use_dense:
+                    sub = self.dense_search.retrieve_with_emb(
+                        q_emb["dense_reps"], query_ids, top_k)
+                    dense_results = merge_results(dense_results, sub, top_k)
+                if use_emb:
+                    sub = self.dense_search.retrieve_with_emb(
+                        q_emb["emb_reps"], query_ids, top_k)
+                    emb_results = merge_results(emb_results, sub, top_k)
+                self.dense_search.clear()
+
+            # Sparse: index per chunk, retrieve once at the end (reference :360-369)
+            if use_sparse or use_tok:
+                self.sparse_search.index(sub_emb["sparse_reps"], ids_chunk)
+
+        sparse_results = tok_results = None
+        if use_sparse:
+            logger.info("Sparse retrieving...")
+            sparse_results = self.sparse_search.retrieve_with_emb(
+                q_emb["sparse_reps"], query_ids, top_k)
+        if use_tok:
+            logger.info("Asymmetric-sparse retrieving...")
+            tok_results = self.sparse_search.retrieve_with_emb(
+                q_emb["token_id_reps"], query_ids, top_k)
+        self.sparse_search.clear()
+
+        results: dict[str, Results] = {}
+        default: Optional[Results] = None
+        if use_dense:
+            results["den"] = default = dense_results
+        if use_sparse:
+            results["spr"] = default = sparse_results
+        if use_emb:
+            results["emb"] = default = emb_results
+        if use_tok:
+            results["tok"] = default = tok_results
+        if use_dense and use_sparse:
+            results["den_spr"] = default = self._fuse(dense_results, sparse_results)
+        if use_emb and use_tok:
+            results["emb_tok"] = default = self._fuse(emb_results, tok_results)
+        return results if self.return_all_results else default

@@ -1,0 +1,124 @@
+"""Prompt / instruction registry for training and evaluation.
+
+Parity with the reference's two registries (reference: utils/prompts.py:4-226
+for training, eval/prompts.py:4-226 for MTEB eval): per-dataset instruction
+lists rendered into an ``e5``-style prefix (``Instruct: {}\nQuery: ``),
+``instructor`` style (instruction embedded, passage-side too), ``bge`` style
+(fixed query prefix for retrieval tasks), or reranker format.
+
+The registry is data: entries cover the common BEIR/MTEB retrieval tasks and
+the standard training mixtures; unknown tasks fall back to a generic web
+search instruction (matching the reference's e5 default behavior for
+retrieval-style tasks). Users extend via :func:`register_prompt`.
+"""
+from __future__ import annotations
+
+from random import Random
+from typing import Optional
+
+DEFAULT_RETRIEVAL_INSTRUCTION = "Given a web search query, retrieve relevant passages that answer the query"
+
+# Training-side instruction registry (e5 format), keyed by dataset/domain name.
+E5_INSTRUCTIONS: dict[str, list[str]] = {
+    "": [""],
+    "msmarco_passage": ["Given a web search query, retrieve relevant passages that answer the query"],
+    "msmarco_document": ["Given a web search query, retrieve relevant documents that answer the query"],
+    "nq": ["Given a question, retrieve Wikipedia passages that answer the question"],
+    "trivia_qa": ["Retrieve Wikipedia passages that answer the question"],
+    "squad": ["Retrieve Wikipedia passages that answer the question"],
+    "hotpot_qa": ["Given a multi-hop question, retrieve documents that can help answer the question"],
+    "fever": ["Given a claim, retrieve documents that support or refute the claim"],
+    "eli5": ["Provided a user question, retrieve the highest voted answers on Reddit ELI5 forum"],
+    "fiqa": ["Given a financial question, retrieve user replies that best answer the question"],
+    "scifact": ["Given a scientific claim, retrieve documents that support or refute the claim"],
+    "nfcorpus": ["Given a question, retrieve relevant documents that best answer the question"],
+    "arguana": ["Given a claim, find documents that refute the claim"],
+    "scidocs": ["Given a scientific paper title, retrieve paper abstracts that are cited by the given paper"],
+    "quora": ["Given a question, retrieve questions that are semantically equivalent to the given question"],
+    "dbpedia": ["Given a query, retrieve relevant entity descriptions from DBPedia"],
+    "webis_touche2020": ["Given a question, retrieve detailed and persuasive arguments that answer the question"],
+    "climate_fever": ["Given a claim about climate change, retrieve documents that support or refute the claim"],
+    "cqadupstack": ["Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question"],
+    "trec_covid": ["Given a query on COVID-19, retrieve documents that answer the query"],
+    "natural_questions": ["Given a question, retrieve Wikipedia passages that answer the question"],
+    "mr_tydi": ["Given a question, retrieve Wikipedia passages that answer the question"],
+    "miracl": ["Given a question, retrieve Wikipedia passages that answer the question"],
+    "nli": ["Given a premise, retrieve a hypothesis that is entailed by the premise",
+            "Retrieve semantically similar text"],
+    "sts": ["Retrieve semantically similar text"],
+}
+
+# MTEB/BEIR eval-side task -> instruction (e5 format), lowercase task keys.
+MTEB_TASK_INSTRUCTIONS: dict[str, str] = {
+    "arguana": "Given a claim, find documents that refute the claim",
+    "climatefever": "Given a claim about climate change, retrieve documents that support or refute the claim",
+    "cqadupstackretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "dbpedia": "Given a query, retrieve relevant entity descriptions from DBPedia",
+    "fever": "Given a claim, retrieve documents that support or refute the claim",
+    "fiqa2018": "Given a financial question, retrieve user replies that best answer the question",
+    "hotpotqa": "Given a multi-hop question, retrieve documents that can help answer the question",
+    "msmarco": "Given a web search query, retrieve relevant passages that answer the query",
+    "nfcorpus": "Given a question, retrieve relevant documents that best answer the question",
+    "nq": "Given a question, retrieve Wikipedia passages that answer the question",
+    "quoraretrieval": "Given a question, retrieve questions that are semantically equivalent to the given question",
+    "scidocs": "Given a scientific paper title, retrieve paper abstracts that are cited by the given paper",
+    "scifact": "Given a scientific claim, retrieve documents that support or refute the claim",
+    "touche2020": "Given a question, retrieve detailed and persuasive arguments that answer the question",
+    "trec-covid": "Given a query on COVID-19, retrieve documents that answer the query",
+    "treccovid": "Given a query on COVID-19, retrieve documents that answer the query",
+}
+
+
+def register_prompt(task_name: str, instructions: list[str], registry: Optional[dict] = None):
+    (registry if registry is not None else E5_INSTRUCTIONS)[task_name] = instructions
+
+
+def _lookup(task_name: str) -> list[str]:
+    if task_name in E5_INSTRUCTIONS:
+        return E5_INSTRUCTIONS[task_name]
+    key = task_name.lower().replace("-", "_")
+    if key in E5_INSTRUCTIONS:
+        return E5_INSTRUCTIONS[key]
+    return [DEFAULT_RETRIEVAL_INSTRUCTION]
+
+
+def get_prompt(prompt_type: str, task_name: str, rng: Optional[Random] = None) -> str:
+    """Render the query-side prompt (parity: utils/prompts.py:207-260).
+
+    e5:          ``Instruct: {instruction}\nQuery: ``
+    e5_reranker: same query prefix (passage side adds ``\nPassage: `` in the
+                 rerank collator)
+    instructor:  ``Represent this {instruction} ``-style embedded instruction
+    bge:         fixed retrieval prefix
+    none/'':     empty
+    """
+    if rng is None:
+        rng = Random(42)
+    if not prompt_type or prompt_type == "none":
+        return ""
+    if prompt_type in ("e5", "e5_reranker"):
+        insts = _lookup(task_name)
+        inst = insts[0] if len(insts) == 1 else rng.choice(insts)
+        return f"Instruct: {inst}\nQuery: " if inst else ""
+    if prompt_type == "instructor":
+        insts = _lookup(task_name)
+        inst = insts[0] if len(insts) == 1 else rng.choice(insts)
+        return f"Represent the query for retrieving evidence: {inst}. " if inst else ""
+    if prompt_type == "bge":
+        return "Represent this sentence for searching relevant passages: "
+    raise NotImplementedError(f"Unknown prompt_type: {prompt_type}")
+
+
+def get_mteb_prompt(prompt_type: str, task_name: str) -> str:
+    """Eval-side prompt for an MTEB task (parity: eval/prompts.py)."""
+    if not prompt_type or prompt_type == "none":
+        return ""
+    key = task_name.lower()
+    inst = MTEB_TASK_INSTRUCTIONS.get(key, DEFAULT_RETRIEVAL_INSTRUCTION)
+    if prompt_type == "e5":
+        return f"Instruct: {inst}\nQuery: "
+    if prompt_type == "bge":
+        return "Represent this sentence for searching relevant passages: "
+    if prompt_type == "instructor":
+        return f"Represent the query for retrieving evidence: {inst}. "
+    raise NotImplementedError(f"Unknown prompt_type: {prompt_type}")

@@ -1,0 +1,187 @@
+"""Inference layer tests: converter, collator, tokenizer surgery, SPMD encode,
+EmbeddingBag construction, end-to-end search strategies."""
+import numpy as np
+import pytest
+
+from lightretriever_tpu.arguments import InferenceArguments, ModelArguments, TrainingArguments
+from lightretriever_tpu.inference.collator import EncodeCollator, pad_ragged, parse_texts
+from lightretriever_tpu.inference.converter import (
+    convert_sparse_reps_to_json,
+    convert_sparse_reps_to_pseudo_text,
+)
+from lightretriever_tpu.inference.encode import DummyModel, SpmdEncoder
+from lightretriever_tpu.models.config import DecoderConfig
+from lightretriever_tpu.models.hybrid import HybridModel
+from lightretriever_tpu.utils.tokenizer_utils import edit_tokenizer
+from lightretriever_tpu.utils.word_pretokenizer import WordPreTokenizer
+
+from tokenizer_fixture import make_tiny_tokenizer
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return make_tiny_tokenizer()
+
+
+TINY = DecoderConfig(
+    vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+    rms_norm_eps=1e-6, rope_theta=10000.0, tie_word_embeddings=True,
+)
+
+
+def test_converter_json_and_pseudo_text():
+    reps = np.array([[0.0, 0.015, 2.5], [0.0, 0.0, 0.0]])
+    js = convert_sparse_reps_to_json(reps, quantization_factor=100)
+    assert js[0] == {"1": 1, "2": 250}
+    assert js[1] == {}
+    pt = convert_sparse_reps_to_pseudo_text(np.array([[0.0, 0.031, 0.02]]), 100)
+    assert pt[0] == "1 1 1 2 2"
+
+
+def test_pad_ragged():
+    out = pad_ragged([[1, 2], [3]], -1, multiple=4)
+    assert out.shape == (2, 4)
+    assert out[0, :2].tolist() == [1, 2] and out[1, 0] == 3
+    assert (out[1, 1:] == -1).all()
+
+
+def test_parse_texts():
+    items = parse_texts(["hello", {"text": "x", "title": "t"}], prompt="P: ")
+    assert items[0] == {"text": "hello", "prompt": "P: "}
+    assert items[1]["title"] == "t" and items[1]["prompt"] == "P: "
+
+
+def test_tokenizer_surgery_eos_postprocessor(tok):
+    t = make_tiny_tokenizer()
+    t = edit_tokenizer(t, add_eos_num=1, add_pad_token=False)
+    ids = t("the quick fox")["input_ids"]
+    assert ids[-1] == t.eos_token_id
+    assert t("the")["input_ids"][-1] == t.eos_token_id
+
+
+def test_tokenizer_surgery_lowercase():
+    t = make_tiny_tokenizer()
+    t = edit_tokenizer(t, lowercase=True, add_pad_token=False)
+    a = t("THE QUICK FOX")["input_ids"]
+    b = t("the quick fox")["input_ids"]
+    assert a == b
+
+
+def test_word_pretokenizer():
+    wt = WordPreTokenizer()
+    out = wt(["The quick-brown fox!", "深度学习 models"])
+    assert "quick" in out[0] and "fox" in out[0] and "the" not in out[0]
+    assert "深" in out[1] and "度" in out[1]
+
+
+def test_collator_shapes_and_reps(tok):
+    col = EncodeCollator(tokenizer=tok, encode_is_query=True, q_max_len=32,
+                         noncontextual_query_embedding=True,
+                         token_id_vector_type="sum")
+    batch = col([{"text": "the quick brown fox"}, {"text": "lazy dog"}])
+    assert batch["input_ids"].shape == batch["attention_mask"].shape
+    assert batch["emb_bag_ids"].shape == batch["emb_bag_mask"].shape
+    assert batch["unique_token_ids"].shape[0] == 2
+    assert len(batch["token_id_reps_str"][0].split()) == 4
+    assert sum(batch["token_id_reps_json"][1].values()) == 2
+
+
+@pytest.fixture(scope="module")
+def hybrid_encoder(tok):
+    ma = ModelArguments(
+        pooling_strategy="lasttoken", attn_implementation="xla",
+        hybrid_use_dense_vector=True, hybrid_use_sparse_vector=True,
+        hybrid_use_emb_vector=True, hybrid_use_token_id_vector=True,
+        noncontextual_query_embedding=True,
+        sparse_use_relu=True, sparse_use_log_saturation=True,
+    )
+    model = HybridModel(ma, TrainingArguments(), TINY,
+                        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id)
+    params = model.init_params(jax.random.key(0))
+    args = InferenceArguments(encode_batch_size=4, emb_bag_construct_batch_size=16,
+                              pooling_strategy="lasttoken", attn_implementation="xla")
+    enc = SpmdEncoder(model, params, tok, args=args, mesh=None)
+    enc.cache_emb_bag()
+    return enc
+
+
+def test_emb_bag_table_shape(hybrid_encoder):
+    assert hybrid_encoder.emb_bag.shape == (TINY.vocab_size, TINY.hidden_size)
+    # Table rows are finite
+    assert np.isfinite(np.asarray(hybrid_encoder.emb_bag)).all()
+
+
+def test_spmd_encoder_queries_and_corpus(hybrid_encoder):
+    qs = ["the quick fox", "chocolate cake recipe", "tpu links", "lazy dog", "cat mat"]
+    out = hybrid_encoder.encode_queries(qs)
+    assert set(out) >= {"dense_reps", "sparse_reps", "emb_reps", "token_id_reps"}
+    assert out["dense_reps"].shape == (5, TINY.hidden_size)
+    assert out["emb_reps"].shape == (5, TINY.hidden_size)
+    assert isinstance(out["sparse_reps"][0], str)       # query sparse -> pseudo-text
+    assert isinstance(out["token_id_reps"][0], str)
+
+    docs = [{"title": "t", "text": "the quick brown fox"}, {"text": "lazy dog"}]
+    cout = hybrid_encoder.encode_corpus(docs)
+    assert cout["dense_reps"].shape == (2, TINY.hidden_size)
+    assert isinstance(cout["sparse_reps"][0], dict)     # corpus sparse -> json impacts
+
+
+def test_dummy_model_passthrough():
+    dm = DummyModel()
+    out = dm.encode_queries([{"text": "hello world"}, "plain"])
+    assert out == ["hello world", "plain"]
+
+
+def test_hybrid_search_end_to_end(hybrid_encoder):
+    from lightretriever_tpu.retriever.search import HybridSearch
+
+    corpus = {
+        "d1": {"text": "the quick brown fox jumps over the lazy dog"},
+        "d2": {"text": "chocolate cake recipe cocoa"},
+        "d3": {"text": "tpu chips interconnect high bandwidth links"},
+        "d4": {"text": "quantum computing superconducting qubits"},
+    }
+    queries = {"q1": "chocolate cake", "q2": "tpu interconnect"}
+    hs = HybridSearch(hybrid_encoder, vocab_size=TINY.vocab_size,
+                      corpus_chunk_size=3, return_all_results=True)
+    results = hs.search(corpus, queries, top_k=3)
+    assert set(results) >= {"den", "spr", "emb", "tok", "den_spr", "emb_tok"}
+    # Asymmetric sparse (token counts vs doc sparse reps) should find overlap
+    for name, res in results.items():
+        assert set(res) == {"q1", "q2"}, name
+    # Exact-term systems must rank the lexically-matching doc first
+    tok_res = results["tok"]
+    assert max(tok_res["q1"], key=tok_res["q1"].get) == "d2"
+    assert max(tok_res["q2"], key=tok_res["q2"].get) == "d3"
+
+
+def test_dense_search_chunking_matches_single_shot(hybrid_encoder):
+    from lightretriever_tpu.retriever.search import DenseRetrievalSearch
+
+    corpus = {f"d{i}": {"text": f"document number {i} about topic"} for i in range(10)}
+    queries = {"q": "document topic"}
+    s1 = DenseRetrievalSearch(hybrid_encoder, corpus_chunk_size=100)
+    s2 = DenseRetrievalSearch(hybrid_encoder, corpus_chunk_size=3)
+    r1 = s1.search(corpus, queries, top_k=5)
+    r2 = s2.search(corpus, queries, top_k=5)
+    assert set(r1["q"]) == set(r2["q"])
+    for pid in r1["q"]:
+        np.testing.assert_allclose(r1["q"][pid], r2["q"][pid], rtol=1e-3, atol=1e-3)
+
+
+def test_bm25_sparse_search_with_dummy_model():
+    from lightretriever_tpu.retriever.search import SparseSearch
+
+    corpus = {
+        "a": {"text": "the cat sat on the mat"},
+        "b": {"text": "zebra giraffe elephant safari"},
+        "c": {"text": "chocolate cake with cocoa"},
+    }
+    queries = {"q1": "elephant safari", "q2": "chocolate cocoa"}
+    ss = SparseSearch(model=DummyModel(), bm25=True)
+    res = ss.search(corpus, queries, top_k=2)
+    assert max(res["q1"], key=res["q1"].get) == "b"
+    assert max(res["q2"], key=res["q2"].get) == "c"
