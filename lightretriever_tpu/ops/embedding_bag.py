@@ -56,20 +56,21 @@ def embedding_bag_lookup(
 def _embag_kernel(
     ids_ref,      # scalar-prefetch: [B, L] int32
     counts_ref,   # scalar-prefetch: [B, 1] int32 (valid count per row)
-    table_ref,    # HBM: [V, H]
-    out_ref,      # VMEM: [1, H]
-    scratch,      # VMEM: [2, 1, H]
+    table_ref,    # HBM: [V, 1, H] (middle singleton keeps dim 0 untiled,
+                  #  so single-row dynamic slices need no 8-row alignment)
+    out_ref,      # VMEM: [1, 1, H]
+    scratch,      # VMEM: [2, 1, 1, H]
     sems,         # DMA sems: [2]
     *, max_len: int, mode: str,
 ):
     b = pl.program_id(0)
-    h = out_ref.shape[1]
+    h = out_ref.shape[2]
     n_valid = counts_ref[b, 0]
 
     def get_dma(slot, li):
         row = ids_ref[b, li]
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(row, 1), :],
+            table_ref.at[pl.ds(row, 1), :, :],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -88,13 +89,13 @@ def _embag_kernel(
             get_dma(nxt, li + 1).start()
 
         get_dma(slot, li).wait()
-        return acc + scratch[slot, 0, :].astype(jnp.float32)
+        return acc + scratch[slot, 0, 0, :].astype(jnp.float32)
 
     acc = jax.lax.fori_loop(0, n_valid, body, jnp.zeros((h,), jnp.float32))
     if mode == "mean":
         denom = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
         acc = acc / denom
-    out_ref[0, :] = acc.astype(out_ref.dtype)
+    out_ref[0, 0, :] = acc.astype(out_ref.dtype)
 
 
 def embedding_bag_lookup_pallas(
@@ -123,18 +124,18 @@ def embedding_bag_lookup_pallas(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, h), lambda bi, *_: (bi, 0)),
+        out_specs=pl.BlockSpec((1, 1, h), lambda bi, *_: (bi, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, h), table.dtype),
+            pltpu.VMEM((2, 1, 1, h), table.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_embag_kernel, max_len=L, mode=mode),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h), table.dtype),
         interpret=interpret,
-    )(ids.astype(jnp.int32), counts, table)
+    )(ids.astype(jnp.int32), counts, table.reshape(v, 1, h))[:, 0, :]
     if normalize:
         out = out / jnp.maximum(jnp.linalg.norm(out.astype(jnp.float32), axis=-1, keepdims=True), 1e-9).astype(out.dtype)
     return out

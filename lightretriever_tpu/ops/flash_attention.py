@@ -103,10 +103,12 @@ def _fwd_kernel(
     q_start = qi * block_q
 
     q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
-    qseg = qseg_ref[0, :]  # [bq]
+    qseg = qseg_ref[0, 0, :]  # [bq]
 
-    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q,), jnp.float32)
+    # Running max/sum kept 2-D [bq, 1]: Mosaic only supports minor-dim
+    # insertion on 32-bit vectors, so 1-D bool intermediates must not appear.
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
 
     q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -115,7 +117,7 @@ def _fwd_kernel(
         m_prev, l_prev, acc = carry
         k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        kseg = kseg_ref[0, pl.ds(ki * block_k, block_k)]
+        kseg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
 
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -131,17 +133,17 @@ def _fwd_kernel(
             allowed = allowed & (q_pos >= k_pos)
         s = jnp.where(allowed, s, NEG_INF)
 
-        m_cur = jnp.max(s, axis=-1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         # Avoid exp(NEG_INF - NEG_INF) when a row has seen no valid key yet.
         m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
-        p = jnp.exp(s - m_safe[:, None])
+        p = jnp.exp(s - m_safe)
         p = jnp.where(s <= NEG_INF * 0.5, 0.0, p)
         alpha = jnp.exp(jnp.where(m_prev <= NEG_INF * 0.5, NEG_INF, m_prev) - m_safe)
         alpha = jnp.where(m_prev <= NEG_INF * 0.5, 0.0, alpha)
 
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc_new = acc * alpha[:, None] + jax.lax.dot_general(
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
             p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
@@ -155,9 +157,9 @@ def _fwd_kernel(
     m, l, acc = jax.lax.fori_loop(0, n_iter, body, (m0, l0, acc0))
 
     safe_l = jnp.where(l > 0, l, 1.0)
-    o_ref[0, 0] = (acc / safe_l[:, None]).astype(o_ref.dtype)
-    lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)
-    lse_ref[0, 0, :] = lse
+    o_ref[0, 0] = (acc / safe_l).astype(o_ref.dtype)
+    lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)  # [bq, 1]
+    lse_ref[0, 0, 0, :] = lse[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -176,15 +178,15 @@ def _bwd_dq_kernel(
 
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0, :]
-    delta = delta_ref[0, 0, :]
-    qseg = qseg_ref[0, :]
+    lse = lse_ref[0, 0, 0, :][:, None]      # [bq, 1] f32 (32-bit minor insert)
+    delta = delta_ref[0, 0, 0, :][:, None]  # [bq, 1]
+    qseg = qseg_ref[0, 0, :]
     q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     def body(ki, dq):
         k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        kseg = kseg_ref[0, pl.ds(ki * block_k, block_k)]
+        kseg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
 
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -200,13 +202,13 @@ def _bwd_dq_kernel(
             allowed = allowed & (q_pos >= k_pos)
 
         lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
-        p = jnp.where(allowed, jnp.exp(s - lse_safe[:, None]), 0.0)
-        p = jnp.where((lse <= NEG_INF * 0.5)[:, None], 0.0, p)
+        p = jnp.where(allowed, jnp.exp(s - lse_safe), 0.0)
+        p = jnp.where(lse <= NEG_INF * 0.5, 0.0, p)
 
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = p * (dp - delta) * sm_scale
         return dq + jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -234,16 +236,16 @@ def _bwd_dkv_kernel(
 
     k_blk = k_ref[0, 0].astype(jnp.float32)
     v_blk = v_ref[0, 0].astype(jnp.float32)
-    kseg = kseg_ref[0, :]
+    kseg = kseg_ref[0, 0, :]
     k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
     def body(qi, carry):
         dk, dv = carry
         q_blk = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         do_blk = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)]
-        qseg = qseg_ref[0, pl.ds(qi * block_q, block_q)]
+        lse = lse_ref[0, 0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        qseg = qseg_ref[0, 0, pl.ds(qi * block_q, block_q)]
 
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -259,8 +261,8 @@ def _bwd_dkv_kernel(
             allowed = allowed & (q_pos >= k_pos)
 
         lse_safe = jnp.where(lse <= NEG_INF * 0.5, 0.0, lse)
-        p = jnp.where(allowed, jnp.exp(s - lse_safe[:, None]), 0.0)
-        p = jnp.where((lse <= NEG_INF * 0.5)[:, None], 0.0, p)
+        p = jnp.where(allowed, jnp.exp(s - lse_safe), 0.0)
+        p = jnp.where(lse <= NEG_INF * 0.5, 0.0, p)
 
         dv_new = dv + jax.lax.dot_general(
             p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -268,7 +270,7 @@ def _bwd_dkv_kernel(
         dp = jax.lax.dot_general(
             do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta[:, None]) * sm_scale
+        ds = p * (dp - delta) * sm_scale
         dk_new = dk + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -336,21 +338,23 @@ def _fa_forward(q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, bloc
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
             pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
-            pl.BlockSpec((1, block_q), lambda bi, hi, qi: (bi, qi)),
-            pl.BlockSpec((1, skv), lambda bi, hi, qi: (bi, 0)),
+            # Segment ids carried as [B, 1, S] so block dims satisfy the
+            # TPU tiling rule (second-to-last block dim == array dim 1).
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
         ],
         interpret=interpret,
     )(
         qt.reshape(b, h, sq // block_q * block_q, d)[:, :, :, :],
-        kt, vt, qseg, kseg,
+        kt, vt, qseg[:, None, :], kseg[:, None, :],
     )
     return out.transpose(0, 2, 1, 3), lse
 
@@ -370,7 +374,7 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
 
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    ).transpose(0, 2, 1)  # [B, H, Sq]
+    ).transpose(0, 2, 1)[:, :, None, :]  # [B, H, 1, Sq]
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -388,16 +392,16 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
             pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi // kv_ratio, 0, 0)),
-            pl.BlockSpec((1, block_q), lambda bi, hi, qi: (bi, qi)),
-            pl.BlockSpec((1, skv), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         interpret=interpret,
-    )(qt, kt, vt, qseg, kseg, dot, lse, delta)
+    )(qt, kt, vt, qseg[:, None, :], kseg[:, None, :], dot, lse, delta)
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, block_q=block_q, causal=causal,
@@ -411,11 +415,11 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
             pl.BlockSpec((1, 1, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi // kv_ratio, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi // kv_ratio, ki, 0)),
-            pl.BlockSpec((1, sq), lambda bi, hi, ki: (bi, 0)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, ki: (bi, ki)),
+            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki: (bi, 0, ki)),
             pl.BlockSpec((1, 1, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, hi, 0)),
-            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, 1, sq), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, sq), lambda bi, hi, ki: (bi, hi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
@@ -426,7 +430,7 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
             jax.ShapeDtypeStruct((b, h, skv, d), jnp.float32),
         ],
         interpret=interpret,
-    )(qt, kt, vt, qseg, kseg, dot, lse, delta)
+    )(qt, kt, vt, qseg[:, None, :], kseg[:, None, :], dot, lse, delta)
 
     # Sum over the query heads sharing each KV head (GQA)
     dk = dk.reshape(b, hkv, kv_ratio, skv, d).sum(axis=2)

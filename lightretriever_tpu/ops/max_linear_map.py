@@ -50,17 +50,22 @@ def max_linear_map_reference(
 # Pallas kernels
 # ---------------------------------------------------------------------------
 def _mlm_fwd_kernel(h_ref, w_ref, b_ref, mask_ref, out_ref, argmax_ref):
-    """One (batch, vocab-tile) program: [S, Vt] logits tile -> max/argmax."""
+    """One (batch, vocab-tile) program: [S, Vt] logits tile -> max/argmax.
+
+    Batch-indexed refs carry a singleton middle dim ([B, 1, ...]) so block
+    shapes satisfy the TPU tiling rule; bool masks are built 2-D directly
+    (Mosaic rejects minor-dim insertion on 1-D i1 vectors).
+    """
     h = h_ref[0].astype(jnp.float32)          # [S, H]
     w = w_ref[...].astype(jnp.float32)        # [H, Vt]
     logits = jax.lax.dot_general(
         h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )                                          # [S, Vt]
     logits = logits + b_ref[0, :][None, :].astype(jnp.float32)
-    valid = mask_ref[0, :] > 0                 # [S]
-    logits = jnp.where(valid[:, None], logits, NEG_INF)
-    out_ref[0, :] = jnp.max(logits, axis=0)
-    argmax_ref[0, :] = jnp.argmax(logits, axis=0).astype(jnp.int32)
+    mask2 = mask_ref[0, 0, :][:, None]         # [S, 1] i32
+    logits = jnp.where(mask2 > 0, logits, NEG_INF)
+    out_ref[0, 0, :] = jnp.max(logits, axis=0)
+    argmax_ref[0, 0, :] = jnp.argmax(logits, axis=0).astype(jnp.int32)
 
 
 def _mlm_bwd_dh_kernel(g_ref, amax_ref, w_ref, rowvalid_ref, dh_ref):
@@ -69,9 +74,9 @@ def _mlm_bwd_dh_kernel(g_ref, amax_ref, w_ref, rowvalid_ref, dh_ref):
     s = dh_ref.shape[1]
     vt = g_ref.shape[1]
 
-    g = g_ref[0, :].astype(jnp.float32)        # [Vt]
-    amax = amax_ref[0, :]                      # [Vt]
-    valid = rowvalid_ref[0, 0] > 0
+    g = g_ref[0, 0, :].astype(jnp.float32)     # [Vt]
+    amax = amax_ref[0, 0, :]                   # [Vt]
+    valid = rowvalid_ref[0, 0, 0] > 0
     g = jnp.where(valid, g, 0.0)
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (s, vt), 0)
@@ -96,9 +101,9 @@ def _mlm_bwd_dw_kernel(g_ref, amax_ref, h_ref, rowvalid_ref, dw_ref, db_ref):
     s = h_ref.shape[1]
     vt = g_ref.shape[1]
 
-    g = g_ref[0, :].astype(jnp.float32)
-    amax = amax_ref[0, :]
-    valid = rowvalid_ref[0, 0] > 0
+    g = g_ref[0, 0, :].astype(jnp.float32)
+    amax = amax_ref[0, 0, :]
+    valid = rowvalid_ref[0, 0, 0] > 0
     g = jnp.where(valid, g, 0.0)
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (s, vt), 0)
@@ -151,19 +156,19 @@ def _mlm_forward(hidden, weight, bias, mask, vocab_tile, interpret):
             pl.BlockSpec((1, s, h), lambda bi, vi: (bi, 0, 0)),
             pl.BlockSpec((h, vocab_tile), lambda bi, vi: (0, vi)),
             pl.BlockSpec((1, vocab_tile), lambda bi, vi: (0, vi)),
-            pl.BlockSpec((1, s), lambda bi, vi: (bi, 0)),
+            pl.BlockSpec((1, 1, s), lambda bi, vi: (bi, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, vocab_tile), lambda bi, vi: (bi, vi)),
-            pl.BlockSpec((1, vocab_tile), lambda bi, vi: (bi, vi)),
+            pl.BlockSpec((1, 1, vocab_tile), lambda bi, vi: (bi, 0, vi)),
+            pl.BlockSpec((1, 1, vocab_tile), lambda bi, vi: (bi, 0, vi)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, v), jnp.float32),
-            jax.ShapeDtypeStruct((b, v), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, v), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, v), jnp.int32),
         ],
         interpret=interpret,
-    )(hidden, weight, bias, mask)
-    return out, argmax
+    )(hidden, weight, bias, mask[:, None, :])
+    return out[:, 0, :], argmax[:, 0, :]
 
 
 def _mlm_fwd_rule(hidden, weight, bias, mask, vocab_tile, interpret):
@@ -178,28 +183,31 @@ def _mlm_bwd_rule(vocab_tile, interpret, res, g):
     v = weight.shape[1]
     g = g.astype(jnp.float32)
 
+    g3 = g[:, None, :]
+    amax3 = argmax[:, None, :]
+    rv3 = row_valid[:, :, None]  # [B, 1, 1]
     dh = pl.pallas_call(
         _mlm_bwd_dh_kernel,
         grid=(b, v // vocab_tile),
         in_specs=[
-            pl.BlockSpec((1, vocab_tile), lambda bi, vi: (bi, vi)),
-            pl.BlockSpec((1, vocab_tile), lambda bi, vi: (bi, vi)),
+            pl.BlockSpec((1, 1, vocab_tile), lambda bi, vi: (bi, 0, vi)),
+            pl.BlockSpec((1, 1, vocab_tile), lambda bi, vi: (bi, 0, vi)),
             pl.BlockSpec((h, vocab_tile), lambda bi, vi: (0, vi)),
-            pl.BlockSpec((1, 1), lambda bi, vi: (bi, 0)),
+            pl.BlockSpec((1, 1, 1), lambda bi, vi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, s, h), lambda bi, vi: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, h), hidden.dtype),
         interpret=interpret,
-    )(g, argmax, weight, row_valid)
+    )(g3, amax3, weight, rv3)
 
     dw, db = pl.pallas_call(
         _mlm_bwd_dw_kernel,
         grid=(v // vocab_tile, b),
         in_specs=[
-            pl.BlockSpec((1, vocab_tile), lambda vi, bi: (bi, vi)),
-            pl.BlockSpec((1, vocab_tile), lambda vi, bi: (bi, vi)),
+            pl.BlockSpec((1, 1, vocab_tile), lambda vi, bi: (bi, 0, vi)),
+            pl.BlockSpec((1, 1, vocab_tile), lambda vi, bi: (bi, 0, vi)),
             pl.BlockSpec((1, s, h), lambda vi, bi: (bi, 0, 0)),
-            pl.BlockSpec((1, 1), lambda vi, bi: (bi, 0)),
+            pl.BlockSpec((1, 1, 1), lambda vi, bi: (bi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((h, vocab_tile), lambda vi, bi: (0, vi)),
@@ -210,7 +218,7 @@ def _mlm_bwd_rule(vocab_tile, interpret, res, g):
             jax.ShapeDtypeStruct((1, v), jnp.float32),
         ],
         interpret=interpret,
-    )(g, argmax, hidden, row_valid)
+    )(g3, amax3, hidden, rv3)
 
     return (
         dh,

@@ -67,6 +67,45 @@ def fsdp_param_sharding(mesh: Mesh, param, axis: str = "data", min_size: int = 2
     return NamedSharding(mesh, P(*spec))
 
 
+def hybrid_param_sharding(
+    mesh: Mesh,
+    param,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    min_size: int = 2**14,
+):
+    """FSDP (data axis) + tensor-parallel (model axis) sharding spec.
+
+    For a 2-axis mesh: the parameter's last dim divisible by the model-axis
+    size is sharded over ``model`` (TP: column-parallel projections, vocab-dim
+    embeddings), and one remaining dim divisible by the data-axis size is
+    sharded over ``data`` (FSDP). Params too small or indivisible stay
+    replicated. This is the whole of "FSDP + TP" on TPU — a spec per tensor,
+    XLA inserts all-gathers/reduce-scatters (vs the reference's
+    accelerate/DeepSpeed wrapper stack, config/*.yaml).
+    """
+    if model_axis not in mesh.shape:
+        return fsdp_param_sharding(mesh, param, axis=data_axis, min_size=min_size)
+    if param.size < min_size:
+        return NamedSharding(mesh, P())
+    n_model = mesh.shape[model_axis]
+    n_data = mesh.shape[data_axis]
+    spec = [None] * param.ndim
+    # TP: prefer the last dim (output features / vocab)
+    for d in range(param.ndim - 1, -1, -1):
+        if param.shape[d] % n_model == 0 and param.shape[d] >= n_model:
+            spec[d] = model_axis
+            break
+    # FSDP: largest remaining divisible dim
+    cands = [(s, d) for d, s in enumerate(param.shape)
+             if spec[d] is None and s % n_data == 0 and s >= n_data]
+    if cands:
+        spec[max(cands)[1]] = data_axis
+    if all(s is None for s in spec):
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Device-put a host batch (pytree of arrays) sharded over the batch dim.
 

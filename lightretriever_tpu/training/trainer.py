@@ -1,0 +1,330 @@
+"""Contrastive trainer: jit train step over a mesh + optax + orbax.
+
+Behavioral parity with the reference's training runtime
+(reference: trainer.py:69-462 ContrastiveTrainer/GCTrainer + HF Trainer
+internals it relies on), redesigned for the JAX SPMD model:
+
+* FSDP/DeepSpeed YAMLs -> one ``Mesh`` + NamedShardings (params sharded over
+  ``data`` via ``fsdp_param_sharding``); XLA inserts all collectives.
+* ``_dist_gather_tensor`` cross-batch negatives -> nothing: the jit step sees
+  the global batch, so in-batch negatives already span every chip.
+* GradCache (trainer.py:409-462) -> ``grad_cache=True`` wraps the rep
+  forward in ``jax.remat`` + ``lax.map`` over micro-chunks: reps for the full
+  batch exist at loss time while activations are recomputed chunk-by-chunk in
+  backward — the same memory/compute trade, without the two-pass machinery.
+* weight-decay exclusions for norms/embeddings/lm_head/poolers
+  (trainer.py:289-331) -> an optax mask over param paths.
+* custom loss-log accumulation + jsonl log file (trainer.py:213-225, 366-400).
+* reg-weight scheduler hookup per step (trainer.py:198-211).
+* checkpoints: orbax for train state; ``save_only_model`` exports the HF
+  layout via model.save (parity: trainer.py:227-287, fit.py:89-102 resume).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..arguments import TrainingArguments
+from ..parallel.mesh import create_mesh, fsdp_param_sharding, shard_batch
+from ..scheduler import build_lr_schedule, get_reg_weight_scaling_factor
+
+logger = logging.getLogger(__name__)
+
+# Params that never receive weight decay (parity: trainer.py:289-331 —
+# lm_head, poolers, norms, embeddings, biases).
+_NO_DECAY_MARKERS = ("norm", "bias", "embed_tokens", "lm_head", "pooler")
+
+
+def _decay_mask(params) -> Any:
+    def mark(path, _):
+        names = [str(getattr(p, "key", getattr(p, "name", p))).lower() for p in path]
+        return not any(m in n for n in names for m in _NO_DECAY_MARKERS)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def build_optimizer(train_args: TrainingArguments, params) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    schedule = build_lr_schedule(train_args)
+    tx = optax.chain(
+        optax.clip_by_global_norm(train_args.max_grad_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=train_args.adam_beta1,
+            b2=train_args.adam_beta2,
+            eps=train_args.adam_epsilon,
+            weight_decay=train_args.weight_decay,
+            mask=_decay_mask(params) if train_args.weight_decay > 0 else None,
+        ),
+    )
+    return tx, schedule
+
+
+def _chunked_encode(encode_fn: Callable, batch: dict, chunk_size: int):
+    """GradCache-equivalent: remat-ed encode scanned over micro-chunks.
+
+    Splits the leading batch dim into chunks, runs the (rematerialized)
+    encoder per chunk under ``lax.map``, and concatenates reps. Backward
+    recomputes activations chunk-wise — bounded memory like GradCache
+    (reference: trainer.py:437-462), but a single differentiable program.
+    """
+    b = next(iter(batch.values())).shape[0]
+    if chunk_size <= 0 or chunk_size >= b:
+        return encode_fn(batch)
+    assert b % chunk_size == 0, f"batch {b} % gc chunk {chunk_size} != 0"
+    n = b // chunk_size
+    chunked = {k: v.reshape(n, chunk_size, *v.shape[1:]) for k, v in batch.items()}
+    reps = jax.lax.map(jax.checkpoint(encode_fn), chunked)
+    return jax.tree_util.tree_map(lambda x: x.reshape(b, *x.shape[2:]), reps)
+
+
+class TrainState:
+    """Minimal pytree train state (params, opt_state, step)."""
+
+    def __init__(self, params, opt_state, step):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node_class(TrainState)
+
+
+class ContrastiveTrainer:
+    """SPMD contrastive trainer (parity surface: trainer.py:69-407 + GCTrainer)."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        train_args: TrainingArguments,
+        mesh=None,
+        train_iter: Optional[Iterable[dict]] = None,
+        compute_metrics: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.train_args = train_args
+        self.train_iter = train_iter
+        self.compute_metrics = compute_metrics
+        self.mesh = mesh
+        if mesh is None and train_args.mesh_shape:
+            try:
+                self.mesh = create_mesh(train_args.mesh_shape, train_args.mesh_axis_names)
+            except Exception:
+                self.mesh = None
+
+        self.tx, self.schedule = build_optimizer(train_args, params)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            self.state = self._shard_state(self.state)
+        self._step_fn = None
+        self._log_accum: dict[str, list[float]] = {}
+        self._log_fh = None
+        if train_args.log_file:
+            os.makedirs(os.path.dirname(train_args.log_file) or ".", exist_ok=True)
+            self._log_fh = open(train_args.log_file, "a")
+
+    # -- sharding ------------------------------------------------------------
+    def _shard_state(self, state: TrainState) -> TrainState:
+        if not self.train_args.shard_params:
+            from ..parallel.mesh import replicated_sharding
+
+            return jax.device_put(state, replicated_sharding(self.mesh))
+
+        def place(x):
+            if not hasattr(x, "shape") or x.ndim == 0:
+                return jax.device_put(x, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()))
+            return jax.device_put(x, fsdp_param_sharding(self.mesh, x))
+
+        return jax.tree_util.tree_map(place, state)
+
+    # -- the step ------------------------------------------------------------
+    def _loss_fn(self, params, batch, reg_factor):
+        ta = self.train_args
+        query, passage = batch["query"], batch["passage"]
+        ce_scores = batch.get("ce_scores")
+        only_hn = batch.get("only_hn")
+
+        if ta.grad_cache:
+            q_reps = _chunked_encode(
+                lambda b: self.model.encode_query(params, b), query, ta.gc_q_chunk_size
+            )
+            p_reps = _chunked_encode(
+                lambda b: self.model.encode_passage(params, b), passage, ta.gc_p_chunk_size
+            )
+            out = self.model.compute_loss(
+                q_reps, p_reps, ce_scores=ce_scores, only_hn=only_hn,
+                reg_scaling_factor=reg_factor,
+            ) if _takes_reg(self.model) else self.model.compute_loss(
+                q_reps, p_reps, ce_scores=ce_scores, only_hn=only_hn,
+            )
+        else:
+            kwargs = dict(ce_scores=ce_scores, only_hn=only_hn, training=True)
+            if _takes_reg(self.model):
+                kwargs["reg_scaling_factor"] = reg_factor
+            out = self.model.forward(params, query, passage, **kwargs)
+        return out.loss, out.logs
+
+    def _build_step(self):
+        tx = self.tx
+
+        def step(state: TrainState, batch, reg_factor):
+            (loss, logs), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state.params, batch, reg_factor)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            logs = dict(logs)
+            logs["loss"] = loss
+            logs["grad_norm"] = gnorm
+            return TrainState(new_params, new_opt, state.step + 1), logs
+
+        donate = (0,)
+        return jax.jit(step, donate_argnums=donate)
+
+    def training_step(self, batch: dict) -> dict[str, float]:
+        """One optimizer step on a host batch dict:
+        {'query': {...arrays}, 'passage': {...}, 'ce_scores'?, 'only_hn'?}."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        ta = self.train_args
+        step_i = int(jax.device_get(self.state.step))
+        reg = get_reg_weight_scaling_factor(
+            step_i, ta.reg_t, ta.reg_max,
+            min_reg_ratio=ta.min_reg_ratio, reg_type=ta.reg_type,
+        ) if ta.use_reg_scheduler else 1.0
+        # Host-only metadata stays on host (domain channel logging below)
+        domain_names = batch.get("domain_name")
+        batch = {
+            k: ({kk: vv for kk, vv in v.items() if _is_numeric(vv)}
+                if isinstance(v, dict) else v)
+            for k, v in batch.items()
+            if v is not None and k != "domain_name" and
+            (isinstance(v, dict) or _is_numeric(v))
+        }
+        if self.mesh is not None:
+            batch = {
+                k: (shard_batch(self.mesh, v) if isinstance(v, dict)
+                    else shard_batch(self.mesh, {"x": np.asarray(v)})["x"])
+                for k, v in batch.items()
+            }
+        self.state, logs = self._step_fn(self.state, batch, jnp.float32(reg))
+        logs = {k: float(jax.device_get(v)) for k, v in logs.items()}
+        logs["reg_scaling_factor"] = float(reg)
+        logs["lr"] = float(self.schedule(step_i))
+        # Per-domain channel loss under homogenous batching (trainer.py:46-67
+        # log-key grouping + modeling_encoder.py:280-287)
+        if domain_names and len(set(domain_names)) == 1:
+            logs[f"channel/{domain_names[0]}"] = logs["loss"]
+        return logs
+
+    # -- loop ----------------------------------------------------------------
+    def train(self, resume_from: Optional[str] = None) -> dict[str, float]:
+        ta = self.train_args
+        if resume_from:
+            self.load_checkpoint(resume_from)
+        assert self.train_iter is not None, "pass train_iter to train()"
+        it = iter(self.train_iter)
+        last_logs: dict[str, float] = {}
+        t0 = time.perf_counter()
+        start = int(jax.device_get(self.state.step))
+        for step_i in range(start, ta.max_steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                logger.info("data iterator exhausted at step %d", step_i)
+                break
+            logs = self.training_step(batch)
+            self._accumulate_logs(logs)
+            if (step_i + 1) % ta.logging_steps == 0:
+                last_logs = self._flush_logs(step_i + 1, t0)
+            if ta.save_steps and (step_i + 1) % ta.save_steps == 0:
+                self.save_checkpoint(
+                    os.path.join(ta.output_dir, f"checkpoint-{step_i + 1}"))
+        return last_logs
+
+    # -- logging (parity: trainer.py:213-225, 366-400) -----------------------
+    def _accumulate_logs(self, logs: dict[str, float]):
+        for k, v in logs.items():
+            self._log_accum.setdefault(k, []).append(v)
+
+    def _flush_logs(self, step: int, t0: float) -> dict[str, float]:
+        avg = {k: float(np.mean(v)) for k, v in self._log_accum.items()}
+        self._log_accum.clear()
+        avg["step"] = step
+        avg["elapsed_s"] = time.perf_counter() - t0
+        logger.info("step %d: %s", step, {k: round(v, 5) for k, v in avg.items()})
+        if self._log_fh is not None:
+            self._log_fh.write(json.dumps(avg) + "\n")
+            self._log_fh.flush()
+        return avg
+
+    # -- checkpointing (parity: trainer.py:227-287 + modeling save contract) --
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        if self.train_args.save_only_model:
+            self.model.save(jax.device_get(self.state.params), path)
+            return
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "state"), jax.device_get(
+            {"params": self.state.params, "opt_state": self.state.opt_state,
+             "step": self.state.step}))
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.device_get(
+            {"params": self.state.params, "opt_state": self.state.opt_state,
+             "step": self.state.step})
+        restored = ckptr.restore(os.path.join(path, "state"), target)
+        self.state = TrainState(restored["params"], restored["opt_state"],
+                                jnp.asarray(restored["step"]))
+        if self.mesh is not None:
+            self.state = self._shard_state(self.state)
+
+
+def _is_numeric(v) -> bool:
+    try:
+        return np.issubdtype(np.asarray(v).dtype, np.number) or \
+            np.issubdtype(np.asarray(v).dtype, np.bool_)
+    except Exception:
+        return False
+
+
+def _takes_reg(model) -> bool:
+    from ..models.hybrid import HybridModel
+
+    return isinstance(model, HybridModel)
+
+
+def find_last_checkpoint(output_dir: str) -> Optional[str]:
+    """Auto-detect the newest checkpoint dir (parity: fit.py:89-102)."""
+    if not os.path.isdir(output_dir):
+        return None
+    cands = [d for d in os.listdir(output_dir) if d.startswith("checkpoint-")]
+    if not cands:
+        return None
+    latest = max(cands, key=lambda d: int(d.split("-")[-1]))
+    return os.path.join(output_dir, latest)

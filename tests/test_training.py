@@ -1,0 +1,198 @@
+"""Training runtime tests: collators, domain interleaving, train step,
+GradCache-equivalent parity, checkpoint roundtrip."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightretriever_tpu.arguments import DomainConfig, ModelArguments, TrainingArguments
+from lightretriever_tpu.models.config import DecoderConfig
+from lightretriever_tpu.models.encoder import EncoderModel
+from lightretriever_tpu.models.hybrid import HybridModel
+from lightretriever_tpu.training.data import (
+    IterableTrainCollator,
+    TrainCollator,
+    TrainDataset,
+    interleave_domains,
+    tokenize_nonctx_query,
+    train_dataloader,
+)
+from lightretriever_tpu.training.trainer import (
+    ContrastiveTrainer,
+    _chunked_encode,
+    find_last_checkpoint,
+)
+
+from tokenizer_fixture import make_tiny_tokenizer
+
+TINY = DecoderConfig(
+    vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+    rms_norm_eps=1e-6, rope_theta=10000.0, tie_word_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return make_tiny_tokenizer()
+
+
+_TOPICS = ["fox dog", "chocolate cake", "tpu chips", "quantum qubits",
+           "zebra safari", "recipe cocoa", "bandwidth links", "cat mat"]
+
+
+def _groups(n=8):
+    # Distinct in-vocab topic words per item — degenerate all-identical
+    # batches give exactly-zero InfoNCE gradients by symmetry.
+    return [
+        {
+            "query": f"question about {_TOPICS[i % len(_TOPICS)]}",
+            "positive_passages": [
+                {"text": f"document about {_TOPICS[i % len(_TOPICS)]}", "ce_score": 1.0}
+            ],
+            "negative_passages": [
+                {"text": f"document about {_TOPICS[(i + 1 + j) % len(_TOPICS)]}",
+                 "ce_score": 0.1}
+                for j in range(3)
+            ],
+            "instruction": "Instruct: retrieve relevant passage\nQuery: ",
+            "domain_name": "msmarco",
+            "domain_ids": 0,
+        }
+        for i in range(n)
+    ]
+
+
+def test_tokenize_nonctx_query(tok):
+    out = tokenize_nonctx_query(
+        ["the quick fox", "dog"], tok, prompts=["query passage", ""],
+    )
+    ids, seg, pos = out["nonctx_input_ids"], out["nonctx_segment_ids"], out["nonctx_position_ids"]
+    p = out["nonctx_prompt_len"]
+    assert p == 2
+    # Row 0: prompt segment 1 over its true length
+    assert (seg[0, :2] == 1).all()
+    # Row 1: no prompt -> pads with segment 0 in the prompt region
+    assert (seg[1, :2] == 0).all()
+    # Blocks: [tok, eos] pairs with distinct segments starting at p
+    assert seg[0, 2] == 2 and seg[0, 3] == 2 and seg[0, 4] == 3
+    assert ids[0, 3] == tok.eos_token_id
+    # Block positions continue after the row's own prompt length
+    assert pos[0, 2] == 2 and pos[0, 3] == 3
+    assert pos[1, 2] == 0 and pos[1, 3] == 1
+
+
+def test_train_collator_batch(tok):
+    col = IterableTrainCollator(
+        tokenizer=tok, q_max_len=32, p_max_len=32, train_n_passages=3,
+        emb_size=64, noncontextual_query_embedding=True, add_prompt_prob=1.0,
+    )
+    batch = col(_groups(4))
+    assert batch["query"]["input_ids"].shape[0] == 4
+    assert batch["passage"]["input_ids"].shape[0] == 12  # 4 * 3
+    assert batch["ce_scores"].shape == (4, 3)
+    assert batch["only_hn"].dtype == bool and not batch["only_hn"].any()
+    assert batch["query"]["token_id_reps"].shape == (4, 64)
+    assert batch["query"]["unique_token_ids"].shape[1] == batch["query"]["input_ids"].shape[1]
+    assert "nonctx_input_ids" in batch["query"]
+
+
+def test_train_dataset_epoch_seeding():
+    ds = TrainDataset(_groups(4), train_n_passages=3, seed=1)
+    a = ds[0]
+    ds.set_epoch(1)
+    b = ds[0]
+    assert a["query"] == b["query"]
+    assert len(a["negative_passages"]) == 2
+
+
+def test_interleave_domains_weights_and_homogenous():
+    domains = {
+        "a": [{"query": f"a{i}", "domain_name": "a"} for i in range(50)],
+        "b": [{"query": f"b{i}", "domain_name": "b"} for i in range(50)],
+    }
+    it = interleave_domains(domains, weights={"a": 0.9, "b": 0.1}, seed=0)
+    sample = [next(it)["domain_name"] for _ in range(300)]
+    assert sample.count("a") > 200
+    # Homogenous: runs of batch_size from one domain
+    it2 = interleave_domains(domains, homogenous_batch_size=4, seed=0)
+    run = [next(it2)["domain_name"] for _ in range(40)]
+    for i in range(0, 40, 4):
+        assert len(set(run[i:i + 4])) == 1
+
+
+def test_chunked_encode_matches_plain():
+    f = lambda b: {"reps": b["x"] * 2.0 + b["y"].sum(-1, keepdims=True)}
+    batch = {"x": jnp.arange(24.0).reshape(8, 3), "y": jnp.ones((8, 5))}
+    full = f(batch)["reps"]
+    chunked = _chunked_encode(f, batch, 2)["reps"]
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked))
+
+
+def _make_trainer(tok, mesh=None, **ta_kw):
+    ma = ModelArguments(
+        pooling_strategy="lasttoken", attn_implementation="xla",
+        hybrid_use_dense_vector=True, hybrid_use_sparse_vector=True,
+        sparse_use_relu=True, sparse_use_log_saturation=True,
+    )
+    defaults = dict(
+        learning_rate=1e-3, max_steps=4, logging_steps=1, save_steps=0,
+        temperature=0.05, add_flops=True, use_reg_scheduler=True, reg_t=2,
+        reg_max=4, weight_decay=0.01,
+    )
+    defaults.update(ta_kw)
+    ta = TrainingArguments(**defaults)
+    model = HybridModel(ma, ta, TINY, eos_token_id=tok.eos_token_id)
+    params = model.init_params(jax.random.key(0))
+    trainer = ContrastiveTrainer(model, params, ta, mesh=mesh)
+    col = IterableTrainCollator(tokenizer=tok, q_max_len=32, p_max_len=32,
+                                train_n_passages=2, emb_size=64)
+    return trainer, col
+
+
+def test_trainer_steps_and_logs(tok, mesh8):
+    trainer, col = _make_trainer(tok, mesh=mesh8)
+    it = train_dataloader(iter(_groups(32)), col, batch_size=8)
+    logs1 = trainer.training_step(next(it))
+    logs2 = trainer.training_step(next(it))
+    assert np.isfinite(logs1["loss"]) and np.isfinite(logs2["loss"])
+    assert "spr_clloss" in logs1 and "q_flops_loss" in logs1
+    assert logs1["reg_scaling_factor"] < logs2["reg_scaling_factor"] <= 1.0
+    assert int(jax.device_get(trainer.state.step)) == 2
+
+
+def test_grad_cache_loss_matches_plain(tok):
+    t_plain, col = _make_trainer(tok)
+    t_gc, _ = _make_trainer(tok, grad_cache=True, gc_q_chunk_size=2, gc_p_chunk_size=4)
+    batch = next(train_dataloader(iter(_groups(8)), col, batch_size=8))
+    dev_batch = {k: v for k, v in batch.items() if k not in ("domain_name",)}
+    lp, _ = t_plain._loss_fn(t_plain.state.params, dev_batch, 1.0)
+    lg, _ = t_gc._loss_fn(t_gc.state.params, dev_batch, 1.0)
+    np.testing.assert_allclose(float(lp), float(lg), rtol=2e-3)
+
+
+def test_checkpoint_roundtrip(tok, tmp_path):
+    trainer, col = _make_trainer(tok)
+    it = train_dataloader(iter(_groups(16)), col, batch_size=8)
+    trainer.training_step(next(it))
+    ckpt = str(tmp_path / "checkpoint-1")
+    trainer.save_checkpoint(ckpt)
+
+    trainer2, _ = _make_trainer(tok)
+    trainer2.load_checkpoint(ckpt)
+    assert int(jax.device_get(trainer2.state.step)) == 1
+    a = jax.device_get(trainer.state.params["qry"]["embed_tokens"])
+    b = jax.device_get(trainer2.state.params["qry"]["embed_tokens"])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert find_last_checkpoint(str(tmp_path)) == ckpt
+
+
+def test_trainer_loss_decreases(tok):
+    # No reg ramp here: the scheduler legitimately grows the FLOPS term,
+    # which can raise the total loss in early steps.
+    trainer, col = _make_trainer(tok, add_flops=False, use_reg_scheduler=False)
+    groups = _groups(8)
+    batch = next(train_dataloader(iter(groups), col, batch_size=8))
+    losses = [trainer.training_step(dict(batch))["loss"] for _ in range(6)]
+    assert losses[-1] < losses[0]
