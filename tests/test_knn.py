@@ -120,3 +120,15 @@ def test_empty_and_padding_ids(rng, mesh8):
     idx.add(corpus)
     s, i = idx.search(queries, 3)
     assert (i < 3).all() and (i >= 0).all()
+
+
+def test_approx_topk_mode(rng):
+    corpus, queries = _data(rng, n=200)
+    idx = FlatIPIndex(mesh=None, dtype=np.float32, topk_method="approx",
+                      recall_target=0.95)
+    idx.add(corpus)
+    s, i = idx.search(queries, 10)
+    ws, wi = _brute(queries, corpus, 10)
+    # High recall vs exact
+    recall = np.mean([len(set(i[r]) & set(wi[r])) / 10 for r in range(len(i))])
+    assert recall >= 0.9
