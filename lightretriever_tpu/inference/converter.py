@@ -38,8 +38,21 @@ def convert_sparse_reps_to_json(
     quantization_factor: int = 100,
     convert_id_to_token: bool = False,
     vocab: Optional[Sequence[str]] = None,
+    use_native: bool = True,
 ) -> list[dict[str, int]]:
-    """Impact-vector json docs (parity: sparse_converter_mixin.py:19-63)."""
+    """Impact-vector json docs (parity: sparse_converter_mixin.py:19-63).
+
+    Fast path: the C++ converter (native/converter.cpp) serializes the whole
+    batch in one pass; falls back to vectorized numpy."""
+    if use_native and not convert_id_to_token:
+        from ..native import native_sparse_convert
+
+        lines = native_sparse_convert(np.asarray(reps), quantization_factor,
+                                      pseudo_text=False)
+        if lines is not None:
+            import json
+
+            return [json.loads(line) if line else {} for line in lines]
     ids_list, vals_list = quantize_sparse_reps(reps, quantization_factor)
     out = []
     for ids, vals in zip(ids_list, vals_list):
@@ -53,9 +66,17 @@ def convert_sparse_reps_to_pseudo_text(
     quantization_factor: int = 100,
     convert_id_to_token: bool = False,
     vocab: Optional[Sequence[str]] = None,
+    use_native: bool = True,
 ) -> list[str]:
     """Impact-repeated pseudo-text (parity: sparse_converter_mixin.py:65-101):
     each token repeated ``impact`` times, e.g. ``"5 5 5 12 12"``."""
+    if use_native and not convert_id_to_token:
+        from ..native import native_sparse_convert
+
+        lines = native_sparse_convert(np.asarray(reps), quantization_factor,
+                                      pseudo_text=True)
+        if lines is not None:
+            return lines
     ids_list, vals_list = quantize_sparse_reps(reps, quantization_factor)
     out = []
     for ids, vals in zip(ids_list, vals_list):

@@ -1,0 +1,86 @@
+"""Native (C++) host-side components, loaded via ctypes.
+
+The reference leans on a Rust extension (`sparse_emb_util`) for its sparse
+converter fast path; here the equivalent lives in converter.cpp, compiled
+lazily with g++ into a cached shared object. Every native entry point has a
+pure-numpy fallback (inference/converter.py), mirroring the reference's
+``*_pt`` fallbacks (sparse_converter_mixin.py:103-188).
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(__file__), "converter.cpp")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_lib() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(tempfile.gettempdir(), "lightretriever_tpu_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"converter_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", so_path]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return so_path
+    except Exception as e:  # missing toolchain etc. -> numpy fallback
+        logger.warning("native converter build failed (%s); using numpy fallback", e)
+        return None
+
+
+def get_native_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _build_lib()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.lr_sparse_convert.restype = ctypes.c_void_p
+    lib.lr_sparse_convert.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.lr_token_counts_json.restype = ctypes.c_void_p
+    lib.lr_token_counts_json.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.lr_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def native_sparse_convert(reps, quantization_factor: int, pseudo_text: bool):
+    """Dense [B, V] float32 -> list of json strs / pseudo-text strs, or None
+    if the native library is unavailable."""
+    import numpy as np
+
+    lib = get_native_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(reps, np.float32)
+    b, v = arr.shape
+    ptr = lib.lr_sparse_convert(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b, v, quantization_factor, 1 if pseudo_text else 0,
+    )
+    try:
+        raw = ctypes.string_at(ptr).decode("utf-8")
+    finally:
+        lib.lr_free(ptr)
+    lines = raw.split("\n")[:b]
+    return lines

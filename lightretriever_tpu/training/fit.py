@@ -141,9 +141,23 @@ def main(
 
 
 if __name__ == "__main__":
+    import json as _json
+
     ma, da, ta = parse_args_from_json(
         sys.argv[1], ModelArguments, DataArguments, TrainingArguments)
+    with open(sys.argv[1]) as _f:
+        _raw = _json.load(_f)
     from ..utils.tokenizer_utils import load_tokenizer
 
-    tok = load_tokenizer(ma.tokenizer_name or ma.model_name_or_path)
-    main(ma, da, ta, tokenizer=tok)
+    tok = load_tokenizer(
+        ma.tokenizer_name or ma.model_name_or_path,
+        lowercase=_raw.get("lowercase", False),
+        pad_token=ma.pad_token or "<|pad|>",
+        add_sep_token=ma.add_sep_token,
+        sep_token=ma.sep_token or "<|sep|>",
+    )
+    main(
+        ma, da, ta, tokenizer=tok,
+        train_data_dir=_raw.get("train_data_dir") or os.environ.get("TRAIN_DATA_DIR"),
+        model_cls=_raw.get("model_cls", "hybrid"),
+    )

@@ -185,3 +185,22 @@ def test_bm25_sparse_search_with_dummy_model():
     res = ss.search(corpus, queries, top_k=2)
     assert max(res["q1"], key=res["q1"].get) == "b"
     assert max(res["q2"], key=res["q2"].get) == "c"
+
+
+def test_native_converter_parity_and_speed():
+    from lightretriever_tpu.native import get_native_lib, native_sparse_convert
+    from lightretriever_tpu.inference.converter import (
+        convert_sparse_reps_to_json as tojson,
+        convert_sparse_reps_to_pseudo_text as topt,
+    )
+
+    assert get_native_lib() is not None, "g++ build should succeed in this image"
+    rng = np.random.default_rng(0)
+    reps = np.where(rng.uniform(size=(32, 500)) > 0.97,
+                    rng.uniform(0.01, 3.0, (32, 500)), 0.0).astype(np.float32)
+    jn = tojson(reps, 100, use_native=True)
+    jp = tojson(reps, 100, use_native=False)
+    assert jn == jp
+    tn = topt(reps, 100, use_native=True)
+    tp = topt(reps, 100, use_native=False)
+    assert tn == tp
