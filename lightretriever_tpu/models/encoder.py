@@ -185,12 +185,7 @@ class EncoderModel:
     def _base_forward(self, params: Params, batch: dict, is_query: bool, pooling_strategy):
         tower, lora, config = self._tower(params, is_query)
         need_hs = pooling_strategy in ("avg_first_last", "avg_top2")
-        out = dec.forward(
-            tower,
-            batch["input_ids"],
-            attention_mask=batch.get("attention_mask"),
-            position_ids=batch.get("position_ids"),
-            segment_ids=batch.get("segment_ids"),
+        common = dict(
             config=config,
             causal=not self.model_args.enable_bidirectional_attention,
             attn_impl=self.model_args.attn_implementation
@@ -200,6 +195,40 @@ class EncoderModel:
             lora=lora,
             lora_scale=lora_scale(self.model_args.lora_r, self.model_args.lora_alpha)
             if lora is not None else 1.0,
+        )
+        if "packed_input_ids" in batch:
+            # cumulative_seq: pad-free packed forward + scatter back
+            # (reference: utils/nested_input.py varlen path; here segment ids
+            # in the flash kernel replace cu_seqlens — training/packing.py)
+            from ..training.packing import unpack_hidden
+
+            out = dec.forward(
+                tower,
+                batch["packed_input_ids"],
+                position_ids=batch["packed_position_ids"],
+                segment_ids=batch["packed_segment_ids"],
+                **common,
+            )
+            unpacked = unpack_hidden(
+                out["last_hidden_state"],
+                batch["unpack_row"], batch["unpack_col"],
+                batch["attention_mask"],
+            )
+            result = {"last_hidden_state": unpacked}
+            if need_hs:
+                result["hidden_states"] = jax.vmap(
+                    lambda h: unpack_hidden(h, batch["unpack_row"],
+                                            batch["unpack_col"],
+                                            batch["attention_mask"])
+                )(out["hidden_states"])
+            return result
+        out = dec.forward(
+            tower,
+            batch["input_ids"],
+            attention_mask=batch.get("attention_mask"),
+            position_ids=batch.get("position_ids"),
+            segment_ids=batch.get("segment_ids"),
+            **common,
         )
         return out
 

@@ -1,0 +1,174 @@
+"""Approximate-NN indexes for huge corpora: IVF on the MXU.
+
+The reference exposes Faiss ANN families — HNSW, PQ, HNSWSQ
+(reference: retriever/faiss_search.py:326-476, faiss_index.py:76-115). Graph
+walks (HNSW) and LUT-gather scoring (PQ-ADC) are pointer-chasing workloads
+that map terribly onto the TPU's vector units; the TPU-idiomatic coverage of
+the same capability space is:
+
+  quality/speed knob   -> `approx_max_k` mode of FlatIPIndex (knn.py)
+  memory compression   -> SQIndex (int8) / BinaryIndex (sign+rerank) (knn.py)
+  huge-corpus pruning  -> IVFIndex here: k-means coarse quantizer, probe the
+                          top-``nprobe`` clusters, score candidates with
+                          dense gathers + MXU matmuls, merge top-k on device.
+
+k-means training runs on device as repeated [S, C] matmuls (Lloyd
+iterations); cluster members are stored as a padded [C, M] id grid so every
+probe is a static-shape gather.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .knn import merge_topk
+
+logger = logging.getLogger(__name__)
+
+
+def kmeans(
+    x: jnp.ndarray, n_clusters: int, n_iters: int = 10, seed: int = 0
+) -> jnp.ndarray:
+    """Spherical-ish Lloyd k-means on device; returns [C, D] centroids."""
+    n = x.shape[0]
+    key = jax.random.key(seed)
+    init_idx = jax.random.choice(key, n, (n_clusters,), replace=False)
+    centroids = x[init_idx]
+
+    @jax.jit
+    def step(centroids):
+        scores = jax.lax.dot_general(
+            x, centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        assign = jnp.argmax(scores, axis=1)
+        one_hot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
+        sums = jax.lax.dot_general(
+            one_hot, x.astype(jnp.float32), (((0,), (0,)), ((), ())))
+        counts = one_hot.sum(0)[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0),
+                        centroids.astype(jnp.float32))
+        return new.astype(x.dtype)
+
+    for _ in range(n_iters):
+        centroids = step(centroids)
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search(q, corpus, centroids, cluster_ids, cluster_valid, k: int, nprobe: int):
+    """q [Q, D]; corpus [N, D]; centroids [C, D]; cluster_ids [C, M] (doc ids,
+    -1 pad). Returns ([Q, k], [Q, k]) global doc ids."""
+    qf = q.astype(corpus.dtype)
+    c_scores = jax.lax.dot_general(
+        qf, centroids.astype(corpus.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(c_scores, nprobe)              # [Q, nprobe]
+
+    def probe_step(carry, p):
+        best_s, best_i = carry
+        cid = probes[:, p]                                   # [Q]
+        ids = cluster_ids[cid]                               # [Q, M]
+        valid = cluster_valid[cid]                           # [Q, M]
+        emb = corpus[jnp.where(valid, ids, 0)]               # [Q, M, D]
+        s = jnp.einsum("qd,qmd->qm", qf.astype(jnp.float32),
+                       emb.astype(jnp.float32))
+        s = jnp.where(valid, s, -jnp.inf)
+        s_k, idx_k = jax.lax.top_k(s, k)
+        i_k = jnp.take_along_axis(jnp.where(valid, ids, -1), idx_k, axis=1)
+        cat_s = jnp.concatenate([best_s, s_k], axis=1)
+        cat_i = jnp.concatenate([best_i, i_k], axis=1)
+        s2, sel = jax.lax.top_k(cat_s, k)
+        return (s2, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (jnp.full((q.shape[0], k), -jnp.inf, jnp.float32),
+            jnp.full((q.shape[0], k), -1, jnp.int32))
+    (s, i), _ = jax.lax.scan(probe_step, init, jnp.arange(nprobe))
+    return s, i
+
+
+class IVFIndex:
+    """Inverted-file ANN index (Faiss IVF/HNSW capability slot, TPU-style)."""
+
+    def __init__(
+        self,
+        n_clusters: Optional[int] = None,
+        nprobe: int = 8,
+        dtype=jnp.bfloat16,
+        kmeans_iters: int = 10,
+        query_chunk: int = 256,
+        mesh=None,          # accepted for registry compatibility; single-host
+        **_,
+    ):
+        self.n_clusters = n_clusters
+        self.nprobe = nprobe
+        self.dtype = dtype
+        self.kmeans_iters = kmeans_iters
+        self.query_chunk = query_chunk
+        self._host_chunks: list[np.ndarray] = []
+        self._n = 0
+        self._built = False
+
+    def __len__(self):
+        return self._n
+
+    def add(self, embeddings: np.ndarray) -> None:
+        self._host_chunks.append(np.asarray(embeddings, np.float32))
+        self._n += len(embeddings)
+        self._built = False
+
+    def _finalize(self):
+        if self._built:
+            return
+        emb = np.concatenate(self._host_chunks) if len(self._host_chunks) > 1 \
+            else self._host_chunks[0]
+        n = len(emb)
+        c = self.n_clusters or max(int(np.sqrt(n)), 1)
+        c = min(c, n)
+        corpus = jnp.asarray(emb, self.dtype)
+        self._centroids = kmeans(corpus, c, self.kmeans_iters)
+        scores = jax.lax.dot_general(
+            corpus, self._centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        assign = np.asarray(jnp.argmax(scores, axis=1))
+        members = [np.nonzero(assign == ci)[0] for ci in range(c)]
+        m_max = max((len(m) for m in members), default=1)
+        m_max = max(m_max, 1)
+        ids = np.full((c, m_max), -1, np.int32)
+        for ci, m in enumerate(members):
+            ids[ci, : len(m)] = m
+        self._corpus = corpus
+        self._cluster_ids = jnp.asarray(ids)
+        self._cluster_valid = jnp.asarray(ids >= 0)
+        self._built = True
+        logger.info("IVF built: %d docs, %d clusters, max cluster %d", n, c, m_max)
+
+    def search(self, queries: np.ndarray, k: int,
+               nprobe: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
+        self._finalize()
+        nprobe = min(nprobe or self.nprobe, self._centroids.shape[0])
+        k_eff = min(k, self._n)
+        best_s = best_i = None
+        q = np.asarray(queries, np.float32)
+        for lo in range(0, len(q), self.query_chunk):
+            s, i = _ivf_search(
+                jnp.asarray(q[lo: lo + self.query_chunk], self.dtype),
+                self._corpus, self._centroids,
+                self._cluster_ids, self._cluster_valid,
+                k_eff, nprobe,
+            )
+            s, i = jax.device_get((s, i))
+            s = np.asarray(s, np.float32)
+            i = np.asarray(i, np.int64)
+            if best_s is None:
+                best_s, best_i = s, i
+            else:
+                best_s = np.concatenate([best_s, s])
+                best_i = np.concatenate([best_i, i])
+        best_s = np.array(best_s)
+        best_i[~np.isfinite(best_s)] = -1
+        return best_s, best_i

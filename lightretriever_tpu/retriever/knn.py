@@ -363,9 +363,16 @@ class PCAIndex(FlatIPIndex):
         return super().search(self._project(queries), k, dim=dim)
 
 
+def _ivf_factory(**kwargs):
+    from .ann import IVFIndex
+
+    return IVFIndex(**kwargs)
+
+
 INDEX_REGISTRY = {
     "flat": FlatIPIndex,
     "sq": SQIndex,
     "binary": BinaryIndex,
     "pca": PCAIndex,
+    "ivf": _ivf_factory,
 }

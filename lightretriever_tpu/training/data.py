@@ -119,6 +119,9 @@ class TrainCollator:
     noncontextual_query_embedding: bool = False
     noncontextual_prompt_prefix: Optional[str] = None
 
+    # Pad-free packed forward (reference cumulative_seq; training/packing.py)
+    cumulative_seq: bool = False
+
     token_id_vector_type: str = "sum"
     use_word_pretokenizer: bool = False
     sparse_remove_stopwords: bool = False
@@ -182,6 +185,11 @@ class TrainCollator:
         p_texts = [p for f in features for p in self._get_passages(f)]
         query = self._tokenize(q_texts, self.q_max_len)
         passage = self._tokenize(p_texts, self.p_max_len)
+        if self.cumulative_seq:
+            from .packing import pack_encode_batch
+
+            query = pack_encode_batch(query, max_len=query["input_ids"].shape[1])
+            passage = pack_encode_batch(passage, max_len=passage["input_ids"].shape[1])
 
         if self.noncontextual_query_embedding:
             query.update(tokenize_nonctx_query(

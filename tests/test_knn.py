@@ -132,3 +132,24 @@ def test_approx_topk_mode(rng):
     # High recall vs exact
     recall = np.mean([len(set(i[r]) & set(wi[r])) / 10 for r in range(len(i))])
     assert recall >= 0.9
+
+
+def test_ivf_index_recall(rng):
+    from lightretriever_tpu.retriever.ann import IVFIndex, kmeans
+    import jax.numpy as jnp
+
+    corpus, queries = _data(rng, n=600, d=32, q=10)
+    idx = IVFIndex(n_clusters=16, nprobe=16, dtype=np.float32, query_chunk=4)
+    idx.add(corpus[:300])
+    idx.add(corpus[300:])
+    s, i = idx.search(queries, 10)  # nprobe == n_clusters -> exact
+    ws, wi = _brute(queries, corpus, 10)
+    np.testing.assert_array_equal(i, wi)
+    np.testing.assert_allclose(s, ws, rtol=1e-4)
+    # Pruned probes: high recall, much less work
+    s2, i2 = idx.search(queries, 10, nprobe=6)
+    recall = np.mean([len(set(i2[r]) & set(wi[r])) / 10 for r in range(10)])
+    assert recall >= 0.6
+
+    cents = kmeans(jnp.asarray(corpus), 8, n_iters=5)
+    assert cents.shape == (8, 32)

@@ -196,3 +196,44 @@ def test_trainer_loss_decreases(tok):
     batch = next(train_dataloader(iter(groups), col, batch_size=8))
     losses = [trainer.training_step(dict(batch))["loss"] for _ in range(6)]
     assert losses[-1] < losses[0]
+
+
+def test_packing_roundtrip():
+    from lightretriever_tpu.training.packing import pack_encode_batch, unpack_hidden
+    import jax.numpy as jnp
+
+    ids = np.array([[5, 6, 7, 0, 0], [8, 9, 0, 0, 0], [10, 11, 12, 13, 0]])
+    mask = (ids > 0).astype(np.int32)
+    packed = pack_encode_batch({"input_ids": ids, "attention_mask": mask},
+                               row_multiple=1)
+    # All valid tokens present exactly once
+    assert (packed["packed_segment_ids"] > 0).sum() == mask.sum()
+    # Position ids restart per segment
+    r, c = packed["unpack_row"][2, 0], packed["unpack_col"][2, 0]
+    assert packed["packed_position_ids"][r, c] == 0
+    # Scatter-back recovers original valid ids
+    ph = jnp.asarray(packed["packed_input_ids"], jnp.float32)[..., None]
+    rec = unpack_hidden(ph, packed["unpack_row"], packed["unpack_col"],
+                        jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(rec[..., 0]) , ids * mask)
+
+
+def test_packed_forward_matches_padded(tok):
+    """cumulative_seq packed encode == plain padded encode (same reps)."""
+    from lightretriever_tpu.models.hybrid import HybridModel
+    from lightretriever_tpu.training.packing import pack_encode_batch
+
+    ma = ModelArguments(pooling_strategy="lasttoken", attn_implementation="xla")
+    model = HybridModel(ma, TrainingArguments(), TINY, eos_token_id=tok.eos_token_id)
+    model.model_args.hybrid_use_dense_vector = True
+    params = model.init_params(jax.random.key(0))
+    ids = np.array([[5, 6, 7, 8, 0, 0], [9, 10, 0, 0, 0, 0], [11, 12, 13, 0, 0, 0],
+                    [14, 15, 16, 17, 18, 19]], np.int32)
+    mask = (ids > 0).astype(np.int32)
+    batch = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)}
+    plain = model.encode_passage(params, batch, encode_sparse=False)["dense_reps"]
+    packed = pack_encode_batch({"input_ids": ids, "attention_mask": mask})
+    packed = {k: jnp.asarray(v) for k, v in packed.items()}
+    packed_reps = model.encode_passage(params, packed, encode_sparse=False)["dense_reps"]
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(packed_reps),
+                               rtol=2e-3, atol=2e-3)
