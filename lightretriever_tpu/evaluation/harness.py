@@ -23,7 +23,13 @@ import os
 import time
 from typing import Any, Optional
 
-from .metrics import evaluate_retrieval, mrr_at_k, recall_cap_at_k, top_k_accuracy
+from .metrics import (
+    evaluate_retrieval,
+    mrr_at_k,
+    nauc_at_k,
+    recall_cap_at_k,
+    top_k_accuracy,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -138,6 +144,7 @@ def _score(qrels, results, k_values) -> dict[str, float]:
     metrics.update(mrr_at_k(qrels, results, kv))
     metrics.update(recall_cap_at_k(qrels, results, kv))
     metrics.update(top_k_accuracy(qrels, results, kv))
+    metrics.update(nauc_at_k(qrels, results, k=10 if 10 in kv else kv[-1]))
     return metrics
 
 
@@ -175,6 +182,40 @@ def launch_eval(
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(all_metrics, f, indent=2)
     return all_metrics
+
+
+def mrl_dim_sweep(
+    encoder,
+    corpus: dict[str, dict],
+    queries: dict[str, str],
+    qrels: dict[str, dict[str, int]],
+    dims: tuple[Optional[int], ...] = (128, 256, 512, 1024, None),
+    top_k: int = 100,
+    k_values: tuple[int, ...] = (10, 100),
+    mesh=None,
+    batch_size: int = 64,
+) -> dict[str, dict[str, float]]:
+    """Matryoshka dimension sweep over ONE resident index
+    (BASELINE.json config[3]): encode once, then per dim run a zero-copy
+    truncated + renormalized search — the reference re-indexes per dim.
+    """
+    from ..retriever.knn import FlatIPIndex
+    from ..retriever.search import _parse_ids_texts, _topk_to_results
+
+    query_ids, query_list = _parse_ids_texts(queries)
+    corpus_ids, corpus_list = _parse_ids_texts(corpus)
+    q_emb = encoder.encode_queries(query_list, batch_size=batch_size)
+    c_emb = encoder.encode_corpus(corpus_list, batch_size=batch_size)
+    if isinstance(q_emb, dict):
+        q_emb, c_emb = q_emb["dense_reps"], c_emb["dense_reps"]
+    index = FlatIPIndex(mesh=mesh)
+    index.add(c_emb)
+    out: dict[str, dict[str, float]] = {}
+    for dim in dims:
+        s, i = index.search(q_emb, min(top_k, len(corpus_ids)), dim=dim)
+        results = _topk_to_results(s, i, query_ids, corpus_ids)
+        out[f"dim={dim or 'full'}"] = _score(qrels, results, k_values)
+    return out
 
 
 def call_evaluate_mteb(eval_args, encoder, mesh=None):

@@ -9,6 +9,8 @@ no positive judgments are skipped, matching trec_eval conventions.
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from collections import defaultdict
 
 Qrels = dict[str, dict[str, int]]
@@ -209,3 +211,65 @@ def in_batch_metrics(scores, n_psg: int) -> dict[str, float]:
         "recall@5": float(np.mean(ranks < 5)),
         "recall@10": float(np.mean(ranks < 10)),
     }
+
+
+# ---------------------------------------------------------------------------
+# nAUC abstention metrics (parity: eval/mteb_metrics.py nAUC block — the
+# normalized area under the metric-vs-abstention curve, per confidence fn)
+# ---------------------------------------------------------------------------
+def per_query_ndcg_at_k(qrels: Qrels, results: Results, k: int) -> dict[str, float]:
+    out = {}
+    for qid, rels in qrels.items():
+        ranked = _ranked_pids(results.get(qid, {}))[:k]
+        dcg = sum(rel / np.log2(r + 2) for r, pid in enumerate(ranked)
+                  for rel in [rels.get(pid, 0)] if rel > 0)
+        ideal = sorted(rels.values(), reverse=True)[:k]
+        idcg = sum(rel / np.log2(r + 2) for r, rel in enumerate(ideal) if rel > 0)
+        out[qid] = dcg / idcg if idcg > 0 else 0.0
+    return out
+
+
+def _confidence_scores(scores: list[float]) -> dict[str, float]:
+    """Per-query retrieval-confidence functions (mteb convention):
+    max score, score std, and the top-1/top-2 margin."""
+    arr = np.asarray(scores, np.float64)
+    if arr.size == 0:
+        return {"max": 0.0, "std": 0.0, "P1": 0.0}
+    srt = -np.sort(-arr)
+    return {
+        "max": float(srt[0]),
+        "std": float(arr.std()),
+        "P1": float(srt[0] - srt[1]) if arr.size > 1 else float(srt[0]),
+    }
+
+
+def _abstention_auc(metric: np.ndarray, conf: np.ndarray,
+                    rates=np.linspace(0.0, 0.9, 10)) -> float:
+    order = np.argsort(-conf, kind="stable")
+    m = metric[order]
+    vals = []
+    for r in rates:
+        keep = max(int(round(len(m) * (1 - r))), 1)
+        vals.append(m[:keep].mean())
+    return float(np.trapezoid(vals, rates))
+
+
+def nauc_at_k(qrels: Qrels, results: Results, k: int = 10) -> dict[str, float]:
+    """nAUC_{ndcg@k}_{conf}: (auc - auc_random) / (auc_oracle - auc_random)."""
+    pq = per_query_ndcg_at_k(qrels, results, k)
+    qids = [q for q in qrels if q in pq]
+    metric = np.asarray([pq[q] for q in qids])
+    if len(qids) == 0:
+        return {}
+    out = {}
+    auc_rand = float(np.trapezoid([metric.mean()] * 10, np.linspace(0.0, 0.9, 10)))
+    auc_oracle = _abstention_auc(metric, metric)
+    for name in ("max", "std", "P1"):
+        conf = np.asarray([
+            _confidence_scores(list(results.get(q, {}).values()))[name] for q in qids
+        ])
+        auc = _abstention_auc(metric, conf)
+        denom = auc_oracle - auc_rand
+        out[f"nAUC_NDCG@{k}_{name}"] = round(
+            (auc - auc_rand) / denom, 5) if abs(denom) > 1e-12 else 0.0
+    return out

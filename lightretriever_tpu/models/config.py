@@ -26,7 +26,8 @@ class DecoderConfig:
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = True
     attention_bias: bool = False  # Qwen2: True (qkv only)
-    model_type: str = "llama"  # llama | qwen2
+    hidden_act: str = "silu"  # silu (llama/qwen/mistral) | gelu_pytorch_tanh (gemma)
+    model_type: str = "llama"  # llama | qwen2 | mistral | gemma
     # Llama-3 rope scaling: dict(rope_type='llama3', factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings)
     rope_scaling: Optional[dict] = None
@@ -53,6 +54,7 @@ class DecoderConfig:
             max_position_embeddings=cfg.get("max_position_embeddings", 8192),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             attention_bias=cfg.get("attention_bias", cfg.get("model_type") == "qwen2"),
+            hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
             model_type=cfg.get("model_type", "llama"),
             rope_scaling=rope_scaling,
         )
@@ -70,7 +72,8 @@ class DecoderConfig:
             self.num_hidden_layers, self.num_attention_heads,
             self.num_key_value_heads, self.head_dim, self.rms_norm_eps,
             self.rope_theta, self.max_position_embeddings,
-            self.tie_word_embeddings, self.attention_bias, self.model_type, rs,
+            self.tie_word_embeddings, self.attention_bias, self.hidden_act,
+            self.model_type, rs,
         ))
 
 

@@ -30,6 +30,12 @@ from ..ops.flash_attention import attention_reference, flash_attention
 
 Params = dict[str, Any]
 
+_ACTIVATIONS = {
+    "silu": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+}
+
 
 # ---------------------------------------------------------------------------
 # Initialization
@@ -165,7 +171,8 @@ def _decoder_layer(
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], config.rms_norm_eps)
     gate = _linear(x, layer_params["gate_proj"], lp("gate_proj"), lora_scale)
     up = _linear(x, layer_params["up_proj"], lp("up_proj"), lora_scale)
-    mlp = _linear(jax.nn.silu(gate) * up, layer_params["down_proj"], lp("down_proj"), lora_scale)
+    act = _ACTIVATIONS[config.hidden_act]
+    mlp = _linear(act(gate) * up, layer_params["down_proj"], lp("down_proj"), lora_scale)
     return residual + mlp
 
 

@@ -61,6 +61,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+@jax.jit
+def _trunc_inv_norms(corpus: jnp.ndarray) -> jnp.ndarray:
+    """Reciprocal row norms of the (truncated) corpus; 0-norm rows -> 0.
+    Sharding follows the corpus (XLA keeps the reduction local per shard)."""
+    n = jnp.linalg.norm(corpus.astype(jnp.float32), axis=-1)
+    return jnp.where(n > 0, 1.0 / jnp.maximum(n, 1e-9), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Device search kernels
 # ---------------------------------------------------------------------------
@@ -74,14 +82,21 @@ def _topk(scores: jnp.ndarray, k: int, method: str, recall_target: float):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "method", "recall_target"))
-def _topk_single(q: jnp.ndarray, corpus: jnp.ndarray, valid: jnp.ndarray, k: int,
+def _topk_single(q: jnp.ndarray, corpus: jnp.ndarray, valid: jnp.ndarray,
+                 inv_norms: jnp.ndarray, k: int,
                  method: str = "exact", recall_target: float = 0.99):
-    """Single-shard top-k: [Q, D] x [N, D] -> ([Q, k], [Q, k])."""
+    """Single-shard top-k: [Q, D] x [N, D] -> ([Q, k], [Q, k]).
+
+    ``inv_norms`` [N] rescales scores per row — ones normally; reciprocal
+    truncated-dim norms for renormalized MRL search (matching the reference's
+    shrink-then-renormalize, modeling_hybrid.py:605-622, without re-indexing).
+    """
     scores = jax.lax.dot_general(
         q, corpus.astype(q.dtype),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    scores = scores * inv_norms[None, :]
     scores = jnp.where(valid[None, :], scores, -jnp.inf)
     return _topk(scores, k, method, recall_target)
 
@@ -95,11 +110,12 @@ def _make_sharded_topk(mesh: Mesh, k_local: int, k_final: int, axis: str = "data
     """
     from jax import shard_map
 
-    def _search(q, corpus, valid, row_offset):
+    def _search(q, corpus, valid, inv_norms, row_offset):
         scores = jax.lax.dot_general(
             q, corpus.astype(q.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        scores = scores * inv_norms[None, :]
         scores = jnp.where(valid[None, :], scores, -jnp.inf)
         s, i = _topk(scores, k_local, method, recall_target)
         gids = i + row_offset[0]
@@ -110,7 +126,7 @@ def _make_sharded_topk(mesh: Mesh, k_local: int, k_final: int, axis: str = "data
 
     return jax.jit(shard_map(
         _search, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        in_specs=(P(), P(axis, None), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     ))
@@ -187,10 +203,13 @@ class FlatIPIndex:
 
     # -- search ------------------------------------------------------------
     def search(
-        self, queries: np.ndarray, k: int, dim: Optional[int] = None
+        self, queries: np.ndarray, k: int, dim: Optional[int] = None,
+        renormalize: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k. ``dim``: MRL truncated search over leading columns
-        (zero-copy slice of the resident index)."""
+        (zero-copy slice of the resident index); with ``renormalize`` scores
+        are rescaled by the truncated corpus-row norms, matching a
+        renormalized (cosine) truncated index without rebuilding it."""
         self._finalize()
         assert self._corpus is not None, "search on empty index"
         k_eff = min(k, self._n)
@@ -200,6 +219,15 @@ class FlatIPIndex:
         if dim:
             corpus = corpus[:, :dim]
             q = q[:, :dim]
+            q = q / jnp.maximum(jnp.linalg.norm(
+                q.astype(jnp.float32), axis=-1, keepdims=True), 1e-9).astype(q.dtype)
+        if dim and renormalize:
+            inv_norms = _trunc_inv_norms(corpus)
+        else:
+            inv_norms = jnp.ones((corpus.shape[0],), jnp.float32)
+            if self.mesh is not None:
+                inv_norms = jax.device_put(
+                    inv_norms, NamedSharding(self.mesh, P(self.axis)))
         if self.mesh is not None:
             rows_per = corpus.shape[0] // self.mesh.shape[self.axis]
             k_local = min(k_eff, rows_per)
@@ -209,9 +237,9 @@ class FlatIPIndex:
                     self.mesh, k_local, k_eff, self.axis,
                     method=self.topk_method, recall_target=self.recall_target,
                 )
-            s, i = self._search_fns[key](q, corpus, valid, self._offsets)
+            s, i = self._search_fns[key](q, corpus, valid, inv_norms, self._offsets)
         else:
-            s, i = _topk_single(q, corpus, valid, k_eff,
+            s, i = _topk_single(q, corpus, valid, inv_norms, k_eff,
                                 method=self.topk_method,
                                 recall_target=self.recall_target)
         s, i = jax.device_get((s, i))  # one host round-trip for both

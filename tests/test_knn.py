@@ -79,9 +79,18 @@ def test_mrl_dim_slice(rng):
     corpus, queries = _data(rng)
     idx = FlatIPIndex(mesh=None, dtype=np.float32)
     idx.add(corpus)
-    s, i = idx.search(queries, 5, dim=8)
+    # Raw truncated dot product
+    s, i = idx.search(queries, 5, dim=8, renormalize=False)
     ws, wi = _brute(queries[:, :8], corpus[:, :8], 5)
     np.testing.assert_array_equal(i, wi)
+    # Renormalized truncation == cosine over a rebuilt truncated index
+    # (the reference's shrink-then-normalize, without re-indexing)
+    s2, i2 = idx.search(queries, 5, dim=8, renormalize=True)
+    qn = queries[:, :8] / np.linalg.norm(queries[:, :8], axis=1, keepdims=True)
+    cn = corpus[:, :8] / np.linalg.norm(corpus[:, :8], axis=1, keepdims=True)
+    ws2, wi2 = _brute(qn, cn, 5)
+    np.testing.assert_array_equal(i2, wi2)
+    np.testing.assert_allclose(s2, ws2, rtol=1e-4, atol=1e-5)
 
 
 def test_sq_index_close_to_exact(rng):
