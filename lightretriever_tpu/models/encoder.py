@@ -40,11 +40,22 @@ import yaml
 from ..arguments import ModelArguments, TrainingArguments
 from ..ops.pooling import pooling
 from .config import DecoderConfig
+from . import bert as bert_mod
 from . import decoder as dec
 from .lora import init_lora_params, lora_scale, merge_lora
 from .projectors import DenseLinearProjector
 
 Params = dict[str, Any]
+
+
+def _is_bert(config) -> bool:
+    return getattr(config, "model_type", "") == "bert"
+
+
+def init_tower_params(config, key, dtype):
+    """Dispatch tower init by model family (llama/qwen decoder vs BERT)."""
+    return bert_mod.init_params(config, key, dtype) if _is_bert(config) \
+        else dec.init_params(config, key, dtype)
 
 
 @dataclasses.dataclass
@@ -149,9 +160,9 @@ class EncoderModel:
     # -- params ------------------------------------------------------------
     def init_params(self, key: jax.Array, dtype=jnp.float32) -> Params:
         kq, kp, kl1, kl2, kd1, kd2 = jax.random.split(key, 6)
-        params: Params = {"qry": dec.init_params(self.config_qry, kq, dtype)}
+        params: Params = {"qry": init_tower_params(self.config_qry, kq, dtype)}
         if self.untied:
-            params["psg"] = dec.init_params(self.config_psg, kp, dtype)
+            params["psg"] = init_tower_params(self.config_psg, kp, dtype)
         ma = self.model_args
         if ma.lora:
             params["lora_qry"] = init_lora_params(
@@ -196,6 +207,22 @@ class EncoderModel:
             lora_scale=lora_scale(self.model_args.lora_r, self.model_args.lora_alpha)
             if lora is not None else 1.0,
         )
+        if _is_bert(config):
+            # BERT family (hybrid_model_architecture='bert'): same call
+            # surface, bidirectional by construction (models/bert.py)
+            return bert_mod.forward(
+                tower,
+                batch["input_ids"],
+                attention_mask=batch.get("attention_mask"),
+                token_type_ids=batch.get("token_type_ids"),
+                position_ids=batch.get("position_ids"),
+                segment_ids=batch.get("segment_ids"),
+                config=config,
+                attn_impl="auto" if self.model_args.attn_implementation == "pallas"
+                else self.model_args.attn_implementation,
+                output_hidden_states=need_hs,
+                remat=self.train_args.gradient_checkpointing,
+            )
         if "packed_input_ids" in batch:
             # cumulative_seq: pad-free packed forward + scatter back
             # (reference: utils/nested_input.py varlen path; here segment ids

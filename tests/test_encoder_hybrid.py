@@ -236,3 +236,43 @@ def test_hybrid_nonctx_train_path():
     out = model.forward(params, qry, p, training=True)
     assert jnp.isfinite(out.loss)
     assert "imb_dense" in out.scores
+
+
+def test_bert_encoder_family():
+    from lightretriever_tpu.models.bert import BertConfig
+
+    cfg = BertConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     max_position_embeddings=64)
+    ma = _margs(hybrid_model_architecture="bert", pooling_strategy="cls",
+                enable_bidirectional_attention=True)
+    ta = TrainingArguments(temperature=0.05)
+    model = EncoderModel(ma, ta, cfg)
+    params = model.init_params(jax.random.key(0))
+    q = _batch(jax.random.key(1), 2, 8, vocab=96)
+    p = _batch(jax.random.key(2), 4, 12, vocab=96)
+    out = model.forward(params, q, p, training=True)
+    assert out.scores.shape == (2, 4)
+    assert jnp.isfinite(out.loss)
+    g = jax.grad(lambda pp: model.forward(pp, q, p).loss)(params)
+    gn = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert gn > 0
+
+
+def test_bert_hybrid_with_down_projector():
+    from lightretriever_tpu.models.bert import BertConfig
+
+    cfg = BertConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     max_position_embeddings=64)
+    ma = _margs(hybrid_model_architecture="bert", pooling_strategy="cls",
+                hybrid_use_dense_vector=True, hybrid_use_sparse_vector=True,
+                use_sparse_down_projector=True, sparse_pooling_strategy="none",
+                sparse_use_relu=True)
+    model = HybridModel(ma, TrainingArguments(), cfg, eos_token_id=2)
+    params = model.init_params(jax.random.key(0))
+    assert "spr_pooler_q" in params
+    p = _batch(jax.random.key(2), 3, 10, vocab=96)
+    reps = model.encode_passage(params, p)
+    assert reps["dense_reps"].shape == (3, 32)
+    assert reps["sparse_reps"].shape == (3, 96)
