@@ -200,9 +200,15 @@ def forward(
     (pre-norm) layer outputs last — index like the reference's
     ``output_hidden_states`` tuple (dense_pooling.py:38-46 uses [0], [-2], [-1]).
     """
-    if attn_impl == "auto":
-        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     b, s = input_ids.shape
+    if attn_impl == "auto":
+        # Measured on v5e: XLA's fused attention wins at short seq (S<=512 the
+        # attention flops are minor and the dense mask fits); the Pallas
+        # kernel wins when sequences are long (dense [B,H,S,S] logits blow
+        # memory) or when segment packing / shared-prompt masks are in play.
+        needs_kernel = segment_ids is not None or prompt_len > 0 or s > 2048
+        attn_impl = "pallas" if (jax.default_backend() == "tpu" and needs_kernel) \
+            else "xla"
     if segment_ids is None:
         if attention_mask is None:
             segment_ids = jnp.ones((b, s), jnp.int32)

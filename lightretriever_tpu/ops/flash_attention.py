@@ -351,6 +351,8 @@ def _fa_forward(q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, bloc
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(
         qt.reshape(b, h, sq // block_q * block_q, d)[:, :, :, :],
@@ -400,6 +402,8 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(qt, kt, vt, qseg[:, None, :], kseg[:, None, :], dot, lse, delta)
 
@@ -429,6 +433,8 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
             jax.ShapeDtypeStruct((b, h, skv, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, skv, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(qt, kt, vt, qseg[:, None, :], kseg[:, None, :], dot, lse, delta)
 
