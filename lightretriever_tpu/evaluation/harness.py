@@ -164,6 +164,12 @@ def launch_eval(
     all_metrics: dict[str, Any] = {}
     for task, data_dir in task_dirs.items():
         logger.info("Evaluating task %s from %s", task, data_dir)
+        # Per-task query prompt injection (parity: evaluate_mteb.py:96-100)
+        prompt_type = getattr(eval_args, "prompt_type", None)
+        if prompt_type and hasattr(encoder, "query_prompt"):
+            from ..utils.prompts import get_mteb_prompt
+
+            encoder.query_prompt = get_mteb_prompt(prompt_type, task) or None
         corpus, queries, qrels = load_beir_dataset(data_dir, split=split)
         res = evaluate_task(
             searcher, corpus, queries, qrels,

@@ -406,10 +406,16 @@ def interleave_domains(
     seed: int = 42,
     homogenous_batch_size: Optional[int] = None,
     infinite: bool = True,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> Iterator[dict]:
     """Weighted domain sampling; with ``homogenous_batch_size`` every run of
     that many consecutive examples comes from a single domain — the in-batch
     negative-quality trick (parity: homogenous_iterable_dataset.py:181-246)."""
+    if shard_count > 1:
+        # Multi-host: each process keeps a disjoint slice of every domain
+        # (parity: homogenous_iterable_dataset.py:227-246 split_dataset_by_node)
+        domains = {n: rows[shard_index::shard_count] for n, rows in domains.items()}
     names = [n for n in domains if domains[n]]
     assert names, "no non-empty domains"
     if weights:

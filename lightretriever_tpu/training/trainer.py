@@ -162,11 +162,12 @@ class ContrastiveTrainer:
         only_hn = batch.get("only_hn")
 
         if ta.grad_cache:
+            q_cs, p_cs = self._gc_chunk_sizes(query, passage)
             q_reps = _chunked_encode(
-                lambda b: self.model.encode_query(params, b), query, ta.gc_q_chunk_size
+                lambda b: self.model.encode_query(params, b), query, q_cs
             )
             p_reps = _chunked_encode(
-                lambda b: self.model.encode_passage(params, b), passage, ta.gc_p_chunk_size
+                lambda b: self.model.encode_passage(params, b), passage, p_cs
             )
             out = self.model.compute_loss(
                 q_reps, p_reps, ce_scores=ce_scores, only_hn=only_hn,
@@ -180,6 +181,27 @@ class ContrastiveTrainer:
                 kwargs["reg_scaling_factor"] = reg_factor
             out = self.model.forward(params, query, passage, **kwargs)
         return out.loss, out.logs
+
+    def _gc_chunk_sizes(self, query: dict, passage: dict) -> tuple[int, int]:
+        """Static or seqlen-scaled GradCache chunk sizes (parity:
+        trainer.py:437-450 — chunk ~ anchor_cs * anchor_len^2 / len^2 rounded
+        to a power of two; host-side, so a handful of shapes compile)."""
+        ta = self.train_args
+        if not ta.gc_dynamic_chunking:
+            return ta.gc_q_chunk_size, ta.gc_p_chunk_size
+
+        def scale(seq_len: int, batch: int) -> int:
+            raw = ta.gc_anchor_chunk_size * (ta.gc_anchor_seqlen ** 2) / max(seq_len, 1) ** 2
+            p2 = 2 ** max(int(np.floor(np.log2(max(raw, 1)))), 0)
+            # chunk must divide the batch
+            while batch % p2 != 0 and p2 > 1:
+                p2 //= 2
+            return p2
+
+        q_ids = query["input_ids"]
+        p_ids = passage["input_ids"]
+        return (scale(q_ids.shape[1], q_ids.shape[0]),
+                scale(p_ids.shape[1], p_ids.shape[0]))
 
     def _build_step(self):
         tx = self.tx

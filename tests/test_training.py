@@ -237,3 +237,27 @@ def test_packed_forward_matches_padded(tok):
     packed_reps = model.encode_passage(params, packed, encode_sparse=False)["dense_reps"]
     np.testing.assert_allclose(np.asarray(plain), np.asarray(packed_reps),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_gc_dynamic_chunk_sizes(tok):
+    trainer, col = _make_trainer(tok, grad_cache=True, gc_dynamic_chunking=True,
+                                 gc_anchor_chunk_size=4, gc_anchor_seqlen=64)
+    q = {"input_ids": np.zeros((8, 32), np.int32)}
+    p = {"input_ids": np.zeros((16, 64), np.int32)}
+    q_cs, p_cs = trainer._gc_chunk_sizes(q, p)
+    # q: 4 * 64^2/32^2 = 16 -> divides 8 -> 8... power of 2 <= 16 dividing 8 -> 8
+    assert q_cs == 8
+    # p: 4 * 64^2/64^2 = 4
+    assert p_cs == 4
+
+
+def test_interleave_sharding():
+    domains = {"a": [{"query": f"a{i}", "domain_name": "a"} for i in range(20)]}
+    it0 = interleave_domains(domains, seed=0, shard_index=0, shard_count=2,
+                             infinite=False)
+    it1 = interleave_domains(domains, seed=0, shard_index=1, shard_count=2,
+                             infinite=False)
+    s0 = {x["query"] for x in it0}
+    s1 = {x["query"] for x in it1}
+    assert s0.isdisjoint(s1)
+    assert len(s0) == len(s1) == 10
