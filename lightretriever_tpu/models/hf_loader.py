@@ -38,11 +38,19 @@ def _to_np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def load_decoder_checkpoint(
+    path: str, dtype=jnp.bfloat16
+) -> tuple[Params, DecoderConfig]:
+    """Load checkpoint + config together."""
+    config = DecoderConfig.from_pretrained(path)
+    return load_decoder_params(path, config, dtype), config
+
+
 def load_decoder_params(
     path: str,
     config: Optional[DecoderConfig] = None,
     dtype=jnp.bfloat16,
-) -> tuple[Params, DecoderConfig]:
+) -> Params:
     """Load an HF Llama/Qwen2 checkpoint dir into the scanned pytree."""
     if config is None:
         config = DecoderConfig.from_pretrained(path)
@@ -92,7 +100,7 @@ def load_decoder_params(
     import jax
 
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
-    return params, config
+    return params
 
 
 def save_decoder_params(params: Params, config: DecoderConfig, path: str) -> None:

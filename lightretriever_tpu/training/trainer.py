@@ -300,6 +300,9 @@ class ContrastiveTrainer:
 
     # -- checkpointing (parity: trainer.py:227-287 + modeling save contract) --
     def save_checkpoint(self, path: str):
+        """Sharded async save: orbax writes each chip's shards directly —
+        no full-tree host gather (the FSDP-state analogue of the reference's
+        DS/FSDP checkpoint delegation, trainer.py:254-287)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -307,9 +310,9 @@ class ContrastiveTrainer:
             self.model.save(jax.device_get(self.state.params), path)
             return
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(path, "state"), jax.device_get(
-            {"params": self.state.params, "opt_state": self.state.opt_state,
-             "step": self.state.step}))
+        ckptr.save(os.path.join(path, "state"),
+                   {"params": self.state.params, "opt_state": self.state.opt_state,
+                    "step": self.state.step})
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, path: str):
@@ -317,14 +320,20 @@ class ContrastiveTrainer:
 
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
-        target = jax.device_get(
+
+        def abstract(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                sharding = getattr(x, "sharding", None)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+            return x
+
+        target = jax.tree_util.tree_map(
+            abstract,
             {"params": self.state.params, "opt_state": self.state.opt_state,
              "step": self.state.step})
         restored = ckptr.restore(os.path.join(path, "state"), target)
         self.state = TrainState(restored["params"], restored["opt_state"],
                                 jnp.asarray(restored["step"]))
-        if self.mesh is not None:
-            self.state = self._shard_state(self.state)
 
 
 def _is_numeric(v) -> bool:

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from lightretriever_tpu.models.config import DecoderConfig
 from lightretriever_tpu.models import decoder as dec
-from lightretriever_tpu.models.hf_loader import load_decoder_params
+from lightretriever_tpu.models.hf_loader import load_decoder_checkpoint
 
 
 @pytest.fixture(scope="module")
@@ -65,7 +65,7 @@ def hf_hidden_and_logits(model, ids, mask):
 
 def test_llama_parity_right_padding(tiny_llama_dir, rng):
     path, hf_model = tiny_llama_dir
-    params, config = load_decoder_params(path, dtype=jnp.float32)
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
     assert config.model_type == "llama" and config.tie_word_embeddings
 
     ids = rng.integers(0, 128, size=(2, 10))
@@ -92,7 +92,7 @@ def test_llama_parity_right_padding(tiny_llama_dir, rng):
 
 def test_llama_parity_left_padding(tiny_llama_dir, rng):
     path, hf_model = tiny_llama_dir
-    params, config = load_decoder_params(path, dtype=jnp.float32)
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
     ids = rng.integers(0, 128, size=(2, 8))
     mask = np.ones((2, 8), np.int64)
     mask[0, :3] = 0  # left padding
@@ -118,7 +118,7 @@ def test_llama_parity_left_padding(tiny_llama_dir, rng):
 
 def test_qwen2_parity(tiny_qwen_dir, rng):
     path, hf_model = tiny_qwen_dir
-    params, config = load_decoder_params(path, dtype=jnp.float32)
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
     assert config.attention_bias and not config.tie_word_embeddings
     assert "lm_head" in params and "bias" in params["layers"]["q_proj"]
 
@@ -138,7 +138,7 @@ def test_qwen2_parity(tiny_qwen_dir, rng):
 def test_bidirectional_attention_differs(tiny_llama_dir, rng):
     """causal=False must change outputs (monkey_patch.py:17-56 equivalent)."""
     path, _ = tiny_llama_dir
-    params, config = load_decoder_params(path, dtype=jnp.float32)
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
     ids = jnp.asarray(rng.integers(0, 128, size=(1, 8)))
     causal = dec.forward(params, ids, config=config, attn_impl="xla")["last_hidden_state"]
     bidir = dec.forward(params, ids, config=config, causal=False, attn_impl="xla")["last_hidden_state"]
@@ -150,7 +150,7 @@ def test_bidirectional_attention_differs(tiny_llama_dir, rng):
 def test_packed_equals_separate(tiny_llama_dir, rng):
     """Packing two sequences with segment ids == running them separately."""
     path, _ = tiny_llama_dir
-    params, config = load_decoder_params(path, dtype=jnp.float32)
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
     a = rng.integers(0, 128, size=6)
     b = rng.integers(0, 128, size=4)
     packed_ids = jnp.asarray(np.concatenate([a, b])[None, :])
@@ -167,7 +167,7 @@ def test_packed_equals_separate(tiny_llama_dir, rng):
 
 def test_pallas_attn_matches_xla(tiny_llama_dir, rng):
     path, _ = tiny_llama_dir
-    params, config = load_decoder_params(path, dtype=jnp.float32)
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
     ids = jnp.asarray(rng.integers(0, 128, size=(2, 16)))
     mask = jnp.asarray(np.ones((2, 16), np.int32))
     out_xla = dec.forward(params, ids, mask, config=config, attn_impl="xla")["last_hidden_state"]
@@ -202,7 +202,7 @@ def test_save_load_roundtrip(tmp_path, rng):
 
     params = dec.init_params(TINY_QWEN2, jax.random.PRNGKey(3))
     save_decoder_params(params, TINY_QWEN2, str(tmp_path))
-    reloaded, cfg = load_decoder_params(str(tmp_path), dtype=jnp.float32)
+    reloaded, cfg = load_decoder_checkpoint(str(tmp_path), dtype=jnp.float32)
     flat1 = jax.tree_util.tree_leaves(params)
     flat2 = jax.tree_util.tree_leaves(reloaded)
     for a, b in zip(flat1, flat2):

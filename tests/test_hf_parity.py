@@ -1,0 +1,189 @@
+"""Numerical parity vs HF transformers (torch CPU): the strongest correctness
+oracle for the model core — tiny random Llama/Qwen2/BERT checkpoints are
+saved by transformers and loaded through our safetensors interchange, then
+hidden states are compared elementwise."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _save_tiny_llama(tmp_path, qwen=False):
+    if qwen:
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        cfg = Qwen2Config(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rope_theta=10000.0,
+            tie_word_embeddings=True, attention_bias=True)
+        model = Qwen2ForCausalLM(cfg)
+    else:
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rope_theta=10000.0,
+            tie_word_embeddings=True)
+        model = LlamaForCausalLM(cfg)
+    model.eval()
+    path = str(tmp_path / ("qwen" if qwen else "llama"))
+    model.save_pretrained(path, safe_serialization=True)
+    return model, path
+
+
+@pytest.mark.parametrize("qwen", [False, True])
+def test_decoder_matches_transformers(tmp_path, qwen):
+    from lightretriever_tpu.models import decoder as dec
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.hf_loader import load_decoder_params
+
+    hf_model, path = _save_tiny_llama(tmp_path, qwen=qwen)
+    cfg = DecoderConfig.from_pretrained(path)
+    params = load_decoder_params(path, cfg, dtype=jnp.float32)
+
+    ids = np.random.default_rng(0).integers(3, 128, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    with torch.no_grad():
+        hf_out = hf_model.model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            output_hidden_states=True,
+        )
+    ours = dec.forward(
+        params, jnp.asarray(ids, jnp.int32),
+        attention_mask=jnp.asarray(mask, jnp.int32),
+        config=cfg, causal=True, attn_impl="xla", output_hidden_states=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["last_hidden_state"]),
+        hf_out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-4,
+    )
+    # Embedding layer (hidden_states[0]) matches too
+    np.testing.assert_allclose(
+        np.asarray(ours["hidden_states"][0]),
+        hf_out.hidden_states[0].numpy(), rtol=1e-5, atol=1e-5,
+    )
+    # LM head (tied) logits
+    with torch.no_grad():
+        hf_logits = hf_model(input_ids=torch.tensor(ids)).logits
+    our_logits = dec.logits(params, ours["last_hidden_state"], cfg)
+    np.testing.assert_allclose(
+        np.asarray(our_logits), hf_logits.numpy(), rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_llama3_rope_scaling_matches_transformers(tmp_path):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from lightretriever_tpu.models import decoder as dec
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.hf_loader import load_decoder_params
+
+    cfg_hf = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=500000.0,
+        tie_word_embeddings=True,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+    )
+    model = LlamaForCausalLM(cfg_hf).eval()
+    path = str(tmp_path / "llama3")
+    model.save_pretrained(path, safe_serialization=True)
+
+    cfg = DecoderConfig.from_pretrained(path)
+    params = load_decoder_params(path, cfg, dtype=jnp.float32)
+    ids = np.random.default_rng(1).integers(3, 128, (2, 80))  # beyond orig_max/positions
+    with torch.no_grad():
+        hf_out = model.model(input_ids=torch.tensor(ids)).last_hidden_state
+    ours = dec.forward(params, jnp.asarray(ids, jnp.int32), config=cfg,
+                       causal=True, attn_impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(ours["last_hidden_state"]), hf_out.numpy(), rtol=3e-4, atol=3e-4,
+    )
+
+
+def test_bert_matches_transformers(tmp_path):
+    from transformers import BertConfig as HFBertConfig, BertModel
+
+    from lightretriever_tpu.models import bert as bert_mod
+    from lightretriever_tpu.models.bert import BertConfig, load_bert_params
+
+    cfg_hf = HFBertConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, type_vocab_size=2)
+    model = BertModel(cfg_hf).eval()
+    path = str(tmp_path / "bert")
+    model.save_pretrained(path, safe_serialization=True)
+
+    cfg = BertConfig.from_pretrained(path)
+    params = load_bert_params(path, cfg, dtype=jnp.float32)
+    ids = np.random.default_rng(2).integers(3, 128, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    with torch.no_grad():
+        hf_out = model(input_ids=torch.tensor(ids),
+                       attention_mask=torch.tensor(mask)).last_hidden_state
+    ours = bert_mod.forward(
+        params, jnp.asarray(ids, jnp.int32),
+        attention_mask=jnp.asarray(mask, jnp.int32), config=cfg, attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["last_hidden_state"]), hf_out.numpy(), rtol=3e-4, atol=3e-4,
+    )
+
+
+def test_save_roundtrip_through_transformers(tmp_path):
+    """Our save_decoder_params output loads back in transformers."""
+    from transformers import LlamaForCausalLM
+
+    from lightretriever_tpu.models import decoder as dec
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.hf_loader import load_decoder_params, save_decoder_params
+
+    _, path = _save_tiny_llama(tmp_path)
+    cfg = DecoderConfig.from_pretrained(path)
+    params = load_decoder_params(path, cfg, dtype=jnp.float32)
+    out_dir = str(tmp_path / "exported")
+    save_decoder_params(params, cfg, out_dir)
+    reloaded = LlamaForCausalLM.from_pretrained(out_dir).eval()
+    ids = np.random.default_rng(3).integers(3, 128, (1, 8))
+    with torch.no_grad():
+        a = reloaded.model(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    ours = dec.forward(params, jnp.asarray(ids, jnp.int32), config=cfg,
+                       causal=True, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(ours["last_hidden_state"]), a,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_model_save_load_roundtrip(tmp_path):
+    """EncoderModel.save -> EncoderModel.load reproduces identical reps
+    (would have caught the tuple-returning loader bug)."""
+    from lightretriever_tpu.arguments import ModelArguments, TrainingArguments
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.encoder import EncoderModel
+
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=True)
+    ma = ModelArguments(pooling_strategy="lasttoken", attn_implementation="xla")
+    model = EncoderModel(ma, TrainingArguments(), cfg)
+    params = model.init_params(jax.random.key(0))
+    out_dir = str(tmp_path / "enc")
+    model.save(params, out_dir)
+
+    ma2 = ModelArguments(pooling_strategy="lasttoken", attn_implementation="xla")
+    model2, params2 = EncoderModel.load(out_dir, ma2, dtype=jnp.float32)
+    batch = {"input_ids": jnp.asarray(np.arange(8)[None] + 3),
+             "attention_mask": jnp.ones((1, 8), jnp.int32)}
+    a = model.encode_query(params, batch)
+    b = model2.encode_query(params2, batch)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
