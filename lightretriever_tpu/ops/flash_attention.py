@@ -102,7 +102,7 @@ def _fwd_kernel(
     qi = pl.program_id(2)
     q_start = qi * block_q
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+    q = q_ref[0, 0]  # [bq, d], input dtype (bf16 MXU rate)
     qseg = qseg_ref[0, 0, :]  # [bq]
 
     # Running max/sum kept 2-D [bq, 1]: Mosaic only supports minor-dim
@@ -115,8 +115,8 @@ def _fwd_kernel(
 
     def body(ki, carry):
         m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
         kseg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
 
         s = jax.lax.dot_general(
@@ -144,7 +144,8 @@ def _fwd_kernel(
 
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -161,6 +162,135 @@ def _fwd_kernel(
     lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)  # [bq, 1]
     lse_ref[0, 0, 0, :] = lse[:, 0]
 
+
+
+def _fwd_kernel_gqa(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
+    *, block_k: int, causal: bool, prompt_len: int, sm_scale: float, kv_ratio: int,
+):
+    """GQA-folded forward: one program handles ALL query heads of a KV group.
+
+    q_ref block is [1, 1, ratio, bq, d]; folding the ratio dim into the
+    matmul M dim turns ``ratio`` narrow [bq, d] GEMMs against the same K/V
+    into one [ratio*bq, d] GEMM — higher MXU utilization and 1/ratio the K/V
+    traffic. Layout bookkeeping: row r of the folded block is (head r // bq,
+    q position q_start + r % bq).
+    """
+    ratio, block_q = q_ref.shape[2], q_ref.shape[3]
+    rows = ratio * block_q
+    skv = k_ref.shape[2]
+    d = q_ref.shape[4]
+    n_kb = skv // block_k
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+
+    q = q_ref[0, 0].reshape(rows, d)  # keep input dtype: bf16 MXU rate
+    qseg = qseg_ref[0, 0, :]                        # [bq] (same for all heads)
+
+    m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(ki, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        kseg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [rows, bk] f32 accumulate from bf16 inputs
+
+        # Mask is head-independent: build it [bq, bk] once, apply on the
+        # 3-D view (major-dim broadcast keeps Mosaic layouts legal)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        allowed = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] > 0) & (kseg[None, :] > 0)
+        if prompt_len > 0:
+            allowed = allowed | (
+                (k_pos < prompt_len) & (kseg[None, :] > 0) & (qseg[:, None] > 0)
+            )
+        if causal:
+            allowed = allowed & (q_pos >= k_pos)
+        s3 = s.reshape(ratio, block_q, block_k)
+        s3 = jnp.where(allowed[None, :, :], s3, NEG_INF)
+        s = s3.reshape(rows, block_k)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(m_new <= NEG_INF * 0.5, 0.0, m_new)
+        p = jnp.exp(s - m_safe)
+        p = jnp.where(s <= NEG_INF * 0.5, 0.0, p)
+        alpha = jnp.exp(jnp.where(m_prev <= NEG_INF * 0.5, NEG_INF, m_prev) - m_safe)
+        alpha = jnp.where(m_prev <= NEG_INF * 0.5, 0.0, alpha)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    if causal:
+        last_kb = (q_start + block_q + block_k - 1) // block_k
+        n_iter = jnp.minimum(last_kb, n_kb)
+    else:
+        n_iter = n_kb
+    m, l, acc = jax.lax.fori_loop(0, n_iter, body, (m0, l0, acc0))
+
+    safe_l = jnp.where(l > 0, l, 1.0)
+    o_ref[0, 0] = (acc / safe_l).reshape(ratio, block_q, d).astype(o_ref.dtype)
+    lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)  # [rows, 1]
+    lse_ref[0, 0, :, 0, :] = lse.reshape(ratio, block_q)
+
+
+def _fa_forward_gqa(q, k, v, qseg, kseg, causal, prompt_len, sm_scale,
+                    block_q, block_k, interpret):
+    """GQA-folded forward dispatch: grid (B, Hkv, q_blocks)."""
+    b, sq, h, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    kv_ratio = h // hkv
+
+    # [B, S, H, D] -> [B, Hkv, ratio, S, D] (consecutive q heads share a KV head)
+    qt = q.transpose(0, 2, 1, 3).reshape(b, hkv, kv_ratio, sq, d)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (b, hkv, sq // block_q)
+    kernel = functools.partial(
+        _fwd_kernel_gqa, block_k=block_k, causal=causal,
+        prompt_len=prompt_len, sm_scale=sm_scale, kv_ratio=kv_ratio,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, kv_ratio, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kv_ratio, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
+            pl.BlockSpec((1, 1, kv_ratio, 1, block_q),
+                         lambda bi, hi, qi: (bi, hi, 0, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, kv_ratio, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hkv, kv_ratio, 1, sq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(qt, kt, vt, qseg[:, None, :], kseg[:, None, :])
+    out = out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    lse = lse.reshape(b, h, 1, sq)
+    return out, lse
 
 # ---------------------------------------------------------------------------
 # Pallas backward kernels
@@ -320,6 +450,9 @@ def _fa_forward(q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, bloc
     b, sq, h, d = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     kv_ratio = h // hkv
+    if kv_ratio > 1 and not interpret:
+        return _fa_forward_gqa(q, k, v, qseg, kseg, causal, prompt_len,
+                               sm_scale, block_q, block_k, interpret)
 
     # [B, S, H, D] -> [B, H, S, D] for per-(b,h) blocking
     qt = q.transpose(0, 2, 1, 3)
@@ -501,7 +634,9 @@ def flash_attention(
     block_k = min(block_k, _round_up(skv, 128))
     sq_p = _round_up(max(sq, block_q), block_q)
     skv_p = _round_up(max(skv, block_k), block_k)
-    d_p = _round_up(d, 128)
+    # Keep head_dim unpadded when it's already sublane-aligned (block dim ==
+    # array dim satisfies the tiling rule; padding 64->128 doubles DMA traffic)
+    d_p = d if d % 8 == 0 else _round_up(d, 128)
 
     qp = _pad_to(_pad_to(q, sq_p, 1), d_p, 3)
     kp = _pad_to(_pad_to(k, skv_p, 1), d_p, 3)
