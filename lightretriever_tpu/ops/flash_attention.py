@@ -419,6 +419,227 @@ def _bwd_dkv_kernel(
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
+
+def _bwd_dq_kernel_gqa(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k: int, causal: bool, prompt_len: int, sm_scale: float,
+):
+    """GQA-folded dQ: one program covers all query heads of a KV group."""
+    ratio, block_q = q_ref.shape[2], q_ref.shape[3]
+    rows = ratio * block_q
+    skv = k_ref.shape[2]
+    d = q_ref.shape[4]
+    n_kb = skv // block_k
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+
+    q = q_ref[0, 0].reshape(rows, d)
+    do = do_ref[0, 0].reshape(rows, d)
+    # [ratio, bq] statistics; dead rows masked via an f32 0/1 gate (i1 minor
+    # inserts and minor-dim-changing reshapes are illegal in Mosaic)
+    lse3 = lse_ref[0, 0][:, 0, :]                      # [ratio, bq]
+    delta3 = delta_ref[0, 0][:, 0, :]
+    lse_safe3 = jnp.where(lse3 <= NEG_INF * 0.5, 0.0, lse3)[:, :, None]
+    lse_gate3 = jnp.where(lse3 <= NEG_INF * 0.5, 0.0, 1.0)[:, :, None]
+    qseg = qseg_ref[0, 0, :]
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(ki, dq):
+        k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :]
+        kseg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        allowed = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] > 0) & (kseg[None, :] > 0)
+        if prompt_len > 0:
+            allowed = allowed | (
+                (k_pos < prompt_len) & (kseg[None, :] > 0) & (qseg[:, None] > 0)
+            )
+        if causal:
+            allowed = allowed & (q_pos >= k_pos)
+
+        s3 = s.reshape(ratio, block_q, block_k)
+        p3 = jnp.exp(s3 - lse_safe3) * lse_gate3
+        p3 = jnp.where(allowed[None, :, :], p3, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp3 = dp.reshape(ratio, block_q, block_k)
+        ds3 = p3 * (dp3 - delta3[:, :, None]) * sm_scale
+        ds = ds3.reshape(rows, block_k).astype(k_blk.dtype)
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        last_kb = (q_start + block_q + block_k - 1) // block_k
+        n_iter = jnp.minimum(last_kb, n_kb)
+    else:
+        n_iter = n_kb
+    dq = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((rows, d), jnp.float32))
+    dq_ref[0, 0] = dq.reshape(ratio, block_q, d).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_gqa(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    *, block_q: int, causal: bool, prompt_len: int, sm_scale: float,
+):
+    """GQA-folded dK/dV: the fold's row-sum IS the GQA head-group reduction,
+    so no post-hoc sum over query heads is needed."""
+    ratio = q_ref.shape[2]
+    block_k = k_ref.shape[2]
+    sq = q_ref.shape[3]
+    d = k_ref.shape[3]
+    rows = ratio * block_q
+    n_qb = sq // block_q
+    ki = pl.program_id(2)
+    k_start = ki * block_k
+
+    k_blk = k_ref[0, 0]
+    v_blk = v_ref[0, 0]
+    kseg = kseg_ref[0, 0, :]
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    def body(qi, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, 0, :, pl.ds(qi * block_q, block_q), :].reshape(rows, d)
+        do_blk = do_ref[0, 0, :, pl.ds(qi * block_q, block_q), :].reshape(rows, d)
+        lse3 = lse_ref[0, 0, :, :, pl.ds(qi * block_q, block_q)][:, 0, :]
+        delta3 = delta_ref[0, 0, :, :, pl.ds(qi * block_q, block_q)][:, 0, :]
+        lse_safe3 = jnp.where(lse3 <= NEG_INF * 0.5, 0.0, lse3)[:, :, None]
+        lse_gate3 = jnp.where(lse3 <= NEG_INF * 0.5, 0.0, 1.0)[:, :, None]
+        qseg = qseg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        allowed = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] > 0) & (kseg[None, :] > 0)
+        if prompt_len > 0:
+            allowed = allowed | (
+                (k_pos < prompt_len) & (kseg[None, :] > 0) & (qseg[:, None] > 0)
+            )
+        if causal:
+            allowed = allowed & (q_pos >= k_pos)
+
+        s3 = s.reshape(ratio, block_q, block_k)
+        p3 = jnp.exp(s3 - lse_safe3) * lse_gate3
+        p3 = jnp.where(allowed[None, :, :], p3, 0.0)
+        p = p3.reshape(rows, block_k)
+
+        pb = p.astype(do_blk.dtype)
+        dv_new = dv + jax.lax.dot_general(
+            pb, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp3 = dp.reshape(ratio, block_q, block_k)
+        ds3 = p3 * (dp3 - delta3[:, :, None]) * sm_scale
+        ds = ds3.reshape(rows, block_k).astype(q_blk.dtype)
+        dk_new = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_new, dv_new
+
+    if causal:
+        lo = k_start // block_q
+    else:
+        lo = 0
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lo, n_qb, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _fa_bwd_gqa(q, k, v, qseg, kseg, out, lse, do, causal, prompt_len,
+                sm_scale, block_q, block_k, interpret):
+    """GQA-folded backward dispatch."""
+    b, sq, h, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    kv_ratio = h // hkv
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1).reshape(b, hkv, kv_ratio, 1, sq)
+    lse_f = lse.reshape(b, hkv, kv_ratio, 1, sq)
+    qt = q.transpose(0, 2, 1, 3).reshape(b, hkv, kv_ratio, sq, d)
+    dot = do.transpose(0, 2, 1, 3).reshape(b, hkv, kv_ratio, sq, d)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    qseg3 = qseg[:, None, :]
+    kseg3 = kseg[:, None, :]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel"),
+        vmem_limit_bytes=96 * 1024 * 1024)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_gqa, block_k=block_k, causal=causal,
+                          prompt_len=prompt_len, sm_scale=sm_scale),
+        grid=(b, hkv, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, kv_ratio, block_q, d), lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, kv_ratio, block_q, d), lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
+            pl.BlockSpec((1, 1, kv_ratio, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, 0, qi)),
+            pl.BlockSpec((1, 1, kv_ratio, 1, block_q), lambda bi, hi, qi: (bi, hi, 0, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, kv_ratio, block_q, d),
+                               lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, kv_ratio, sq, d), q.dtype),
+        compiler_params=params,
+        interpret=interpret,
+    )(qt, kt, vt, qseg3, kseg3, dot, lse_f, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_gqa, block_q=block_q, causal=causal,
+                          prompt_len=prompt_len, sm_scale=sm_scale),
+        grid=(b, hkv, skv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, kv_ratio, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, sq), lambda bi, hi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, kv_ratio, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, kv_ratio, 1, sq), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, kv_ratio, 1, sq), lambda bi, hi, ki: (bi, hi, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(qt, kt, vt, qseg3, kseg3, dot, lse_f, delta)
+
+    dq = dq.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return (
+        dq,
+        dk.transpose(0, 2, 1, 3).astype(k.dtype),
+        dv.transpose(0, 2, 1, 3).astype(v.dtype),
+        None,
+        None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host wrappers
 # ---------------------------------------------------------------------------
@@ -506,6 +727,9 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
     b, sq, h, d = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     kv_ratio = h // hkv
+    if kv_ratio > 1 and not interpret:
+        return _fa_bwd_gqa(q, k, v, qseg, kseg, out, lse, do, causal,
+                           prompt_len, sm_scale, block_q, block_k, interpret)
 
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
