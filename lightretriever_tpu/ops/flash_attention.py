@@ -671,7 +671,7 @@ def _fa_forward(q, k, v, qseg, kseg, causal, prompt_len, sm_scale, block_q, bloc
     b, sq, h, d = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     kv_ratio = h // hkv
-    if kv_ratio > 1 and not interpret:
+    if kv_ratio > 1:
         return _fa_forward_gqa(q, k, v, qseg, kseg, causal, prompt_len,
                                sm_scale, block_q, block_k, interpret)
 
@@ -727,7 +727,7 @@ def _fa_bwd_rule(causal, prompt_len, sm_scale, block_q, block_k, interpret, res,
     b, sq, h, d = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     kv_ratio = h // hkv
-    if kv_ratio > 1 and not interpret:
+    if kv_ratio > 1:
         return _fa_bwd_gqa(q, k, v, qseg, kseg, out, lse, do, causal,
                            prompt_len, sm_scale, block_q, block_k, interpret)
 
