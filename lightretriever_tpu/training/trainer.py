@@ -21,6 +21,7 @@ internals it relies on), redesigned for the JAX SPMD model:
 """
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -221,9 +222,42 @@ class ContrastiveTrainer:
         donate = (0,)
         return jax.jit(step, donate_argnums=donate)
 
-    def training_step(self, batch: dict) -> dict[str, float]:
+    def _build_accum_fns(self):
+        """Gradient accumulation: per-microbatch grad fn + one apply fn
+        (parity: HF Trainer gradient_accumulation_steps the reference relies
+        on). Grads accumulate device-side; the optimizer sees their mean."""
+        tx = self.tx
+
+        @jax.jit
+        def grad_fn(params, batch, reg_factor):
+            (loss, logs), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(params, batch, reg_factor)
+            logs = dict(logs)
+            logs["loss"] = loss
+            return grads, logs
+
+        @jax.jit
+        def add_fn(acc, grads):
+            return jax.tree_util.tree_map(jnp.add, acc, grads)
+
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+        def apply_fn(state: TrainState, grads, n_accum: int):
+            grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (TrainState(new_params, new_opt, state.step + 1),
+                    optax.global_norm(grads))
+
+        return grad_fn, add_fn, apply_fn
+
+    def training_step(self, batch: dict | list[dict]) -> dict[str, float]:
         """One optimizer step on a host batch dict:
-        {'query': {...arrays}, 'passage': {...}, 'ce_scores'?, 'only_hn'?}."""
+        {'query': {...arrays}, 'passage': {...}, 'ce_scores'?, 'only_hn'?}.
+        A LIST of batches accumulates gradients across them (one update)."""
+        if isinstance(batch, list) and len(batch) > 1:
+            return self._accum_training_step(batch)
+        if isinstance(batch, list):
+            batch = batch[0]
         if self._step_fn is None:
             self._step_fn = self._build_step()
         ta = self.train_args
@@ -233,6 +267,45 @@ class ContrastiveTrainer:
             min_reg_ratio=ta.min_reg_ratio, reg_type=ta.reg_type,
         ) if ta.use_reg_scheduler else 1.0
         # Host-only metadata stays on host (domain channel logging below)
+        batch, domain_names = self._prep_batch(batch)
+        self.state, logs = self._step_fn(self.state, batch, jnp.float32(reg))
+        logs = {k: float(jax.device_get(v)) for k, v in logs.items()}
+        logs["reg_scaling_factor"] = float(reg)
+        logs["lr"] = float(self.schedule(step_i))
+        # Per-domain channel loss under homogenous batching (trainer.py:46-67
+        # log-key grouping + modeling_encoder.py:280-287)
+        if domain_names and len(set(domain_names)) == 1:
+            logs[f"channel/{domain_names[0]}"] = logs["loss"]
+        return logs
+
+    def _accum_training_step(self, batches: list[dict]) -> dict[str, float]:
+        if not hasattr(self, "_accum_fns"):
+            self._accum_fns = self._build_accum_fns()
+        grad_fn, add_fn, apply_fn = self._accum_fns
+        ta = self.train_args
+        step_i = int(jax.device_get(self.state.step))
+        reg = get_reg_weight_scaling_factor(
+            step_i, ta.reg_t, ta.reg_max,
+            min_reg_ratio=ta.min_reg_ratio, reg_type=ta.reg_type,
+        ) if ta.use_reg_scheduler else 1.0
+        acc = None
+        all_logs: list[dict] = []
+        for b in batches:
+            b = self._prep_batch(b)[0]
+            grads, logs = grad_fn(self.state.params, b, jnp.float32(reg))
+            acc = grads if acc is None else add_fn(acc, grads)
+            all_logs.append(logs)
+        self.state, gnorm = apply_fn(self.state, acc, len(batches))
+        out = {k: float(np.mean([float(jax.device_get(lg[k])) for lg in all_logs]))
+               for k in all_logs[0]}
+        out["grad_norm"] = float(jax.device_get(gnorm))
+        out["reg_scaling_factor"] = float(reg)
+        out["lr"] = float(self.schedule(step_i))
+        return out
+
+    def _prep_batch(self, batch: dict):
+        """Strip host-only fields + shard over the mesh; returns
+        (device_batch, domain_names)."""
         domain_names = batch.get("domain_name")
         batch = {
             k: ({kk: vv for kk, vv in v.items() if _is_numeric(vv)}
@@ -247,15 +320,7 @@ class ContrastiveTrainer:
                     else shard_batch(self.mesh, {"x": np.asarray(v)})["x"])
                 for k, v in batch.items()
             }
-        self.state, logs = self._step_fn(self.state, batch, jnp.float32(reg))
-        logs = {k: float(jax.device_get(v)) for k, v in logs.items()}
-        logs["reg_scaling_factor"] = float(reg)
-        logs["lr"] = float(self.schedule(step_i))
-        # Per-domain channel loss under homogenous batching (trainer.py:46-67
-        # log-key grouping + modeling_encoder.py:280-287)
-        if domain_names and len(set(domain_names)) == 1:
-            logs[f"channel/{domain_names[0]}"] = logs["loss"]
-        return logs
+        return batch, domain_names
 
     # -- loop ----------------------------------------------------------------
     def train(self, resume_from: Optional[str] = None) -> dict[str, float]:
@@ -267,9 +332,10 @@ class ContrastiveTrainer:
         last_logs: dict[str, float] = {}
         t0 = time.perf_counter()
         start = int(jax.device_get(self.state.step))
+        n_accum = max(ta.gradient_accumulation_steps, 1)
         for step_i in range(start, ta.max_steps):
             try:
-                batch = next(it)
+                batch = [next(it) for _ in range(n_accum)] if n_accum > 1 else next(it)
             except StopIteration:
                 logger.info("data iterator exhausted at step %d", step_i)
                 break

@@ -261,3 +261,25 @@ def test_interleave_sharding():
     s1 = {x["query"] for x in it1}
     assert s0.isdisjoint(s1)
     assert len(s0) == len(s1) == 10
+
+
+def test_gradient_accumulation_matches_big_batch(tok):
+    """K accumulated micro-batches == one K-times-larger batch (same grads
+    when the loss decomposes; InfoNCE does not decompose across batches, so
+    compare against per-microbatch mean updates instead)."""
+    t_acc, col = _make_trainer(tok, add_flops=False, use_reg_scheduler=False,
+                               gradient_accumulation_steps=2, weight_decay=0.0)
+    groups = _groups(16)
+    b1 = next(train_dataloader(iter(groups[:8]), col, batch_size=8))
+    b2 = next(train_dataloader(iter(groups[8:]), col, batch_size=8))
+    # Per-microbatch losses at the INITIAL params (before any update)
+    grad_fn, _, _ = t_acc._build_accum_fns()
+    _, l1 = grad_fn(t_acc.state.params, t_acc._prep_batch(b1)[0], jnp.float32(1.0))
+    _, l2 = grad_fn(t_acc.state.params, t_acc._prep_batch(b2)[0], jnp.float32(1.0))
+
+    logs = t_acc.training_step([b1, b2])
+    assert np.isfinite(logs["loss"]) and logs["grad_norm"] > 0
+    assert int(jax.device_get(t_acc.state.step)) == 1
+    # Logged loss is the mean over microbatches
+    np.testing.assert_allclose(
+        logs["loss"], (float(l1["loss"]) + float(l2["loss"])) / 2, rtol=1e-4)
