@@ -24,7 +24,10 @@ TOP_K = 100
 
 
 def main():
+    global N_DOCS, N_QUERIES
     backend = jax.default_backend()
+    if backend != "tpu":  # debug runs off-TPU: shrink to stay tractable
+        N_DOCS, N_QUERIES = 50_000, 256
     rng = np.random.default_rng(0)
     corpus = rng.standard_normal((N_DOCS, DIM), dtype=np.float32)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)

@@ -408,10 +408,16 @@ def interleave_domains(
     infinite: bool = True,
     shard_index: int = 0,
     shard_count: int = 1,
+    max_per_domain: Optional[dict[str, int]] = None,
 ) -> Iterator[dict]:
     """Weighted domain sampling; with ``homogenous_batch_size`` every run of
     that many consecutive examples comes from a single domain — the in-batch
-    negative-quality trick (parity: homogenous_iterable_dataset.py:181-246)."""
+    negative-quality trick (parity: homogenous_iterable_dataset.py:181-246).
+
+    ``max_per_domain`` caps total draws per domain (the reference's
+    size*epoch budget, DomainConfig size/epoch fields); exhausted domains
+    drop out of the sampling distribution, and iteration ends when all are
+    exhausted."""
     if shard_count > 1:
         # Multi-host: each process keeps a disjoint slice of every domain
         # (parity: homogenous_iterable_dataset.py:227-246 split_dataset_by_node)
@@ -428,6 +434,8 @@ def interleave_domains(
     rng = np.random.default_rng(seed)
     cursors = {n: 0 for n in names}
     orders = {n: rng.permutation(len(domains[n])) for n in names}
+    drawn = {n: 0 for n in names}
+    budget = dict(max_per_domain or {})
 
     def next_from(name: str) -> dict:
         i = cursors[name]
@@ -440,12 +448,23 @@ def interleave_domains(
         return domains[name][orders[name][i]]
 
     while True:
-        name = names[int(rng.choice(len(names), p=w))]
+        if budget:
+            # Drop exhausted domains and renormalize
+            alive = [i for i, n in enumerate(names)
+                     if budget.get(n) is None or drawn[n] < budget[n]]
+            if not alive:
+                return
+            w_alive = w[alive] / w[alive].sum()
+            name = names[alive[int(rng.choice(len(alive), p=w_alive))]]
+        else:
+            name = names[int(rng.choice(len(names), p=w))]
         try:
             if homogenous_batch_size:
                 for _ in range(homogenous_batch_size):
+                    drawn[name] += 1
                     yield next_from(name)
             else:
+                drawn[name] += 1
                 yield next_from(name)
         except StopIteration:
             return

@@ -283,3 +283,15 @@ def test_gradient_accumulation_matches_big_batch(tok):
     # Logged loss is the mean over microbatches
     np.testing.assert_allclose(
         logs["loss"], (float(l1["loss"]) + float(l2["loss"])) / 2, rtol=1e-4)
+
+
+def test_interleave_domain_budget():
+    domains = {
+        "a": [{"query": f"a{i}", "domain_name": "a"} for i in range(100)],
+        "b": [{"query": f"b{i}", "domain_name": "b"} for i in range(100)],
+    }
+    # size * epoch budgets: a=20, b=10 -> exactly 30 examples then stop
+    it = interleave_domains(domains, seed=0, max_per_domain={"a": 20, "b": 10})
+    out = list(it)
+    names = [x["domain_name"] for x in out]
+    assert names.count("a") == 20 and names.count("b") == 10
