@@ -108,6 +108,16 @@ class BaseModelArguments:
     # Sequence packing via segment ids (TPU replacement of FA2 varlen cu_seqlens;
     # reference: utils/nested_input.py)
     cumulative_seq: bool = False
+    # Tokenizer surgery (reference: arguments.py:190-310 + utils/data_utils.py:29)
+    use_fast_tokenizer: bool = True
+    cache_dir: Optional[str] = None
+    lowercase: bool = False
+    edit_tokenizer_normalizers: bool = True
+    edit_tokenizer_post_processor: bool = True
+    add_bos_num: int = -1
+    add_eos_num: int = -1
+    add_pooling_token_num: int = -1
+    add_pad_token: bool = True
     # Pad / sep token surgery (reference: arguments.py:283-310)
     pad_token: Optional[str] = None
     sep_token: Optional[str] = None

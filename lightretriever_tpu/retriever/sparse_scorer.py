@@ -129,7 +129,8 @@ class SparseImpactIndex:
         mesh: Optional[Mesh] = None,
         quantization_factor: int = 100,
         dtype=jnp.float32,
-        chunk_docs: int = 16384,
+        chunk_docs: Optional[int] = None,
+        mem_budget_bytes: int = 1 << 30,
         axis: str = "data",
     ):
         self.vocab_size = vocab_size
@@ -137,6 +138,11 @@ class SparseImpactIndex:
         self.axis = axis
         self.quantization_factor = quantization_factor
         self.dtype = dtype
+        if chunk_docs is None:
+            # The scatter materializes a dense [C, V] chunk on device; bound
+            # it by memory budget (128k vocab f32 -> ~2k docs/chunk per GB)
+            bytes_per = vocab_size * np.dtype(np.float32).itemsize
+            chunk_docs = min(max(256, int(mem_budget_bytes / max(bytes_per, 1))), 16384)
         self.chunk_docs = chunk_docs
         self._ids: list[np.ndarray] = []
         self._vals: list[np.ndarray] = []

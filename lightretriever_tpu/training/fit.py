@@ -151,7 +151,14 @@ if __name__ == "__main__":
 
     tok = load_tokenizer(
         ma.tokenizer_name or ma.model_name_or_path,
-        lowercase=_raw.get("lowercase", False),
+        use_fast=ma.use_fast_tokenizer,
+        edit_tokenizer_normalizers=ma.edit_tokenizer_normalizers,
+        lowercase=ma.lowercase,
+        edit_tokenizer_post_processor=ma.edit_tokenizer_post_processor,
+        add_bos_num=ma.add_bos_num,
+        add_eos_num=ma.add_eos_num,
+        add_pooling_token_num=ma.add_pooling_token_num,
+        add_pad_token=ma.add_pad_token,
         pad_token=ma.pad_token or "<|pad|>",
         add_sep_token=ma.add_sep_token,
         sep_token=ma.sep_token or "<|sep|>",
