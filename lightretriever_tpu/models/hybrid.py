@@ -280,6 +280,11 @@ class HybridModel(EncoderModel):
         here the same visibility pattern is expressed as segment ids plus a
         shared ``prompt_len`` prefix — native to the Pallas kernel.
         """
+        assert "nonctx_input_ids" in qry, (
+            "noncontextual_query_embedding training needs blocked inputs from "
+            "the collator — set noncontextual_query_embedding=True on "
+            "TrainCollator/EncodeCollator (training/data.py:tokenize_nonctx_query)"
+        )
         tower, lora, config = self._tower(params, True)
         prompt_len = int(qry.get("nonctx_prompt_len", 0))
         out = decoder_forward(

@@ -114,8 +114,11 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     every chip computes its slice.
     """
     def _put(x):
-        sh = data_sharding(mesh, ndim=x.ndim, axis=axis)
-        return jax.device_put(x, sh)
+        arr = np.asarray(x)
+        if arr.ndim == 0:
+            return x  # python/0-d scalars stay host-side (jit statics etc.)
+        sh = data_sharding(mesh, ndim=arr.ndim, axis=axis)
+        return jax.device_put(arr, sh)
 
     return jax.tree_util.tree_map(_put, batch)
 

@@ -71,6 +71,8 @@ def tokenize_nonctx_query(
     )["input_ids"]
 
     p_max = max((len(p) for p in prompt_ids), default=0)
+    if p_max:
+        p_max = (p_max + 7) // 8 * 8  # bucket: prompt_len is a jit-static arg
     widths = [p_max + 2 * len(t) for t in tok_ids]
     width = bucket_length(max(max(widths, default=2), 2), length_buckets)
 

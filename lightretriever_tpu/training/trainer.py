@@ -207,7 +207,8 @@ class ContrastiveTrainer:
     def _build_step(self):
         tx = self.tx
 
-        def step(state: TrainState, batch, reg_factor):
+        def step(state: TrainState, batch, reg_factor, q_prompt_len: int):
+            batch = _restore_statics(batch, q_prompt_len)
             (loss, logs), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
             )(state.params, batch, reg_factor)
@@ -219,8 +220,7 @@ class ContrastiveTrainer:
             logs["grad_norm"] = gnorm
             return TrainState(new_params, new_opt, state.step + 1), logs
 
-        donate = (0,)
-        return jax.jit(step, donate_argnums=donate)
+        return jax.jit(step, donate_argnums=(0,), static_argnums=(3,))
 
     def _build_accum_fns(self):
         """Gradient accumulation: per-microbatch grad fn + one apply fn
@@ -228,8 +228,9 @@ class ContrastiveTrainer:
         on). Grads accumulate device-side; the optimizer sees their mean."""
         tx = self.tx
 
-        @jax.jit
-        def grad_fn(params, batch, reg_factor):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def grad_fn(params, batch, reg_factor, q_prompt_len: int = -1):
+            batch = _restore_statics(batch, q_prompt_len)
             (loss, logs), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(params, batch, reg_factor)
             logs = dict(logs)
@@ -267,8 +268,9 @@ class ContrastiveTrainer:
             min_reg_ratio=ta.min_reg_ratio, reg_type=ta.reg_type,
         ) if ta.use_reg_scheduler else 1.0
         # Host-only metadata stays on host (domain channel logging below)
-        batch, domain_names = self._prep_batch(batch)
-        self.state, logs = self._step_fn(self.state, batch, jnp.float32(reg))
+        batch, domain_names, q_prompt_len = self._prep_batch(batch)
+        self.state, logs = self._step_fn(
+            self.state, batch, jnp.float32(reg), q_prompt_len)
         logs = {k: float(jax.device_get(v)) for k, v in logs.items()}
         logs["reg_scaling_factor"] = float(reg)
         logs["lr"] = float(self.schedule(step_i))
@@ -291,8 +293,9 @@ class ContrastiveTrainer:
         acc = None
         all_logs: list[dict] = []
         for b in batches:
-            b = self._prep_batch(b)[0]
-            grads, logs = grad_fn(self.state.params, b, jnp.float32(reg))
+            b, _, q_prompt_len = self._prep_batch(b)
+            grads, logs = grad_fn(self.state.params, b, jnp.float32(reg),
+                                  q_prompt_len)
             acc = grads if acc is None else add_fn(acc, grads)
             all_logs.append(logs)
         self.state, gnorm = apply_fn(self.state, acc, len(batches))
@@ -305,10 +308,17 @@ class ContrastiveTrainer:
 
     def _prep_batch(self, batch: dict):
         """Strip host-only fields + shard over the mesh; returns
-        (device_batch, domain_names)."""
+        (device_batch, domain_names, q_prompt_len). ``nonctx_prompt_len`` is
+        pulled out as a jit-STATIC int (the flash kernel needs a compile-time
+        prompt length; the collator buckets it to multiples of 8)."""
         domain_names = batch.get("domain_name")
+        q_prompt_len = -1
+        if isinstance(batch.get("query"), dict) and \
+                "nonctx_prompt_len" in batch["query"]:
+            q_prompt_len = int(batch["query"]["nonctx_prompt_len"])
         batch = {
-            k: ({kk: vv for kk, vv in v.items() if _is_numeric(vv)}
+            k: ({kk: vv for kk, vv in v.items()
+                 if kk != "nonctx_prompt_len" and _is_numeric(vv)}
                 if isinstance(v, dict) else v)
             for k, v in batch.items()
             if v is not None and k != "domain_name" and
@@ -320,7 +330,7 @@ class ContrastiveTrainer:
                     else shard_batch(self.mesh, {"x": np.asarray(v)})["x"])
                 for k, v in batch.items()
             }
-        return batch, domain_names
+        return batch, domain_names, q_prompt_len
 
     # -- loop ----------------------------------------------------------------
     def train(self, resume_from: Optional[str] = None) -> dict[str, float]:
@@ -400,6 +410,14 @@ class ContrastiveTrainer:
         restored = ckptr.restore(os.path.join(path, "state"), target)
         self.state = TrainState(restored["params"], restored["opt_state"],
                                 jnp.asarray(restored["step"]))
+
+
+def _restore_statics(batch: dict, q_prompt_len: int) -> dict:
+    """Re-attach static scalars stripped by _prep_batch."""
+    if q_prompt_len >= 0 and isinstance(batch.get("query"), dict):
+        batch = {**batch, "query": {**batch["query"],
+                                    "nonctx_prompt_len": q_prompt_len}}
+    return batch
 
 
 def _is_numeric(v) -> bool:

@@ -70,17 +70,17 @@ def test_tokenize_nonctx_query(tok):
     )
     ids, seg, pos = out["nonctx_input_ids"], out["nonctx_segment_ids"], out["nonctx_position_ids"]
     p = out["nonctx_prompt_len"]
-    assert p == 2
-    # Row 0: prompt segment 1 over its true length
-    assert (seg[0, :2] == 1).all()
-    # Row 1: no prompt -> pads with segment 0 in the prompt region
-    assert (seg[1, :2] == 0).all()
+    assert p == 8  # true max prompt 2, bucketed to a multiple of 8 (jit-static)
+    # Row 0: prompt segment 1 over its true length, segment-0 pad up to p
+    assert (seg[0, :2] == 1).all() and (seg[0, 2:p] == 0).all()
+    # Row 1: no prompt -> all pads (segment 0) in the prompt region
+    assert (seg[1, :p] == 0).all()
     # Blocks: [tok, eos] pairs with distinct segments starting at p
-    assert seg[0, 2] == 2 and seg[0, 3] == 2 and seg[0, 4] == 3
-    assert ids[0, 3] == tok.eos_token_id
-    # Block positions continue after the row's own prompt length
-    assert pos[0, 2] == 2 and pos[0, 3] == 3
-    assert pos[1, 2] == 0 and pos[1, 3] == 1
+    assert seg[0, p] == 2 and seg[0, p + 1] == 2 and seg[0, p + 2] == 3
+    assert ids[0, p + 1] == tok.eos_token_id
+    # Block positions continue after the row's own TRUE prompt length
+    assert pos[0, p] == 2 and pos[0, p + 1] == 3
+    assert pos[1, p] == 0 and pos[1, p + 1] == 1
 
 
 def test_train_collator_batch(tok):
