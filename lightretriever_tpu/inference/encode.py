@@ -161,28 +161,39 @@ class SpmdEncoder:
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             batch_size = max(batch_size // n_dev, 1) * n_dev
 
+        # Software pipeline: dispatch batch i to the device (async), tokenize
+        # batch i+1 on the host while it runs, then materialize batch i —
+        # the single-process analogue of the reference's feeder threads
+        # (exact_search_torchrpc.py:73-81).
         outs: list = []
+        pending = None  # (device reps or dict of arrays, host_batch, n_valid)
         for lo in range(0, len(items), batch_size):
             chunk, n_valid = self._pad_batch(items[lo: lo + batch_size], batch_size)
             host_batch = collator(chunk)
-            reps = self._call_batch_encode(
-                host_batch, encode_is_query, n_valid, **encoding_kwargs
-            )
-            outs.append(reps)
+            dispatched = self._dispatch_batch(host_batch, encode_is_query)
+            if pending is not None:
+                outs.append(self._materialize(
+                    *pending, encode_is_query, **encoding_kwargs))
+            pending = (dispatched, host_batch, n_valid)
+        if pending is not None:
+            outs.append(self._materialize(
+                *pending, encode_is_query, **encoding_kwargs))
         return _concat_outputs(outs)
 
-    def _call_batch_encode(
-        self, host_batch: dict, encode_is_query: bool, n_valid: int,
-        anserini_vector_type: Optional[str] = None, **encoding_kwargs,
-    ):
-        """One device step + host postprocessing
-        (parity: call_batch_encode, exact_search_base.py:204-263)."""
+    def _dispatch_batch(self, host_batch: dict, encode_is_query: bool):
+        """Start the device computation without blocking (jit is async)."""
         dev = self._device_batch(host_batch)
         with_bag = self.emb_bag is not None and encode_is_query
         fn = self._encode_fn(encode_is_query, with_bag)
-        reps = fn(self.params, dev, self.emb_bag) if _is_hybrid(self.model) \
-            else fn(self.params, dev)
+        if _is_hybrid(self.model):
+            return fn(self.params, dev, self.emb_bag)
+        return fn(self.params, dev)
 
+    def _materialize(self, reps, host_batch: dict, n_valid: int,
+                     encode_is_query: bool,
+                     anserini_vector_type: Optional[str] = None, **_):
+        """Block on a dispatched batch and run host-side postprocessing
+        (parity: call_batch_encode, exact_search_base.py:204-263)."""
         qf = self.args.quantization_factor
         fmt = anserini_vector_type or self.args.anserini_vector_type
         if isinstance(reps, dict):
@@ -203,6 +214,16 @@ class SpmdEncoder:
                     out[k] = np.asarray(v, np.float32)[:n_valid]
             return out
         return np.asarray(reps, np.float32)[:n_valid]
+
+    def _call_batch_encode(
+        self, host_batch: dict, encode_is_query: bool, n_valid: int,
+        **encoding_kwargs,
+    ):
+        """One device step + host postprocessing
+        (parity: call_batch_encode, exact_search_base.py:204-263)."""
+        reps = self._dispatch_batch(host_batch, encode_is_query)
+        return self._materialize(reps, host_batch, n_valid, encode_is_query,
+                                 **encoding_kwargs)
 
 
 def _is_hybrid(model) -> bool:
