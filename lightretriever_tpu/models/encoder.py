@@ -166,11 +166,11 @@ class EncoderModel:
         ma = self.model_args
         if ma.lora:
             params["lora_qry"] = init_lora_params(
-                self.config_qry, kl1, r=ma.lora_r, modules=ma.lora_target_modules, dtype=dtype
+                self.config_qry, kl1, r=ma.lora_r, target_modules=ma.lora_target_modules, dtype=dtype
             )
             if self.untied:
                 params["lora_psg"] = init_lora_params(
-                    self.config_psg, kl2, r=ma.lora_r, modules=ma.lora_target_modules, dtype=dtype
+                    self.config_psg, kl2, r=ma.lora_r, target_modules=ma.lora_target_modules, dtype=dtype
                 )
         if ma.add_pooler:
             h = self.config_qry.hidden_size

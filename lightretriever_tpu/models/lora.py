@@ -90,3 +90,91 @@ def merge_lora(params: Params, lora: Params, r: int, alpha: int) -> Params:
     out = dict(params)
     out["layers"] = merged_layers
     return out
+
+
+# ---------------------------------------------------------------------------
+# peft adapter interchange (reference loads/saves adapters via peft:
+# modeling_encoder.py:616-625, 658-676)
+# ---------------------------------------------------------------------------
+def load_peft_adapter(path: str, config: DecoderConfig, dtype=jnp.float32):
+    """Load a peft LoRA adapter dir (adapter_config.json +
+    adapter_model.safetensors) into our stacked pytree.
+
+    Returns (lora_params, r, alpha). peft stores per-layer
+    ``...layers.{l}.self_attn.q_proj.lora_A.weight`` [r, in] and
+    ``lora_B.weight`` [out, r]; ours are a=[L, in, r], b=[L, r, out].
+    """
+    import json
+    import os
+
+    import numpy as np
+    from safetensors import safe_open
+
+    with open(os.path.join(path, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    r, alpha = acfg["r"], acfg["lora_alpha"]
+    targets = acfg.get("target_modules") or list(DEFAULT_TARGETS)
+
+    tensors: dict[str, "np.ndarray"] = {}
+    fname = os.path.join(path, "adapter_model.safetensors")
+    with safe_open(fname, framework="np") as f:
+        for k in f.keys():
+            tensors[k] = f.get_tensor(k)
+
+    def find(layer: int, module: str, ab: str):
+        for k, v in tensors.items():
+            if f"layers.{layer}." in k and f"{module}.lora_{ab}" in k:
+                return np.asarray(v)
+        raise KeyError(f"missing lora_{ab} for layer {layer} {module}")
+
+    L = config.num_hidden_layers
+    out: Params = {"layers": {}}
+    for name in targets:
+        if name not in DEFAULT_TARGETS:
+            continue
+        a = np.stack([find(l, name, "A").T for l in range(L)])  # [L, in, r]
+        b = np.stack([find(l, name, "B").T for l in range(L)])  # [L, r, out]
+        out["layers"][name] = {"a": jnp.asarray(a, dtype), "b": jnp.asarray(b, dtype)}
+    return out, r, alpha
+
+
+def save_peft_adapter(
+    lora: Params,
+    config: DecoderConfig,
+    path: str,
+    r: int,
+    alpha: int,
+    lora_dropout: float = 0.0,
+    base_model_name_or_path: str = "",
+) -> None:
+    """Export our adapter tree as a peft-loadable LoRA directory."""
+    import json
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    tensors: dict[str, np.ndarray] = {}
+    targets = sorted(lora["layers"].keys())
+    attn = {"q_proj", "k_proj", "v_proj", "o_proj"}
+    for name, lp in lora["layers"].items():
+        sub = "self_attn" if name in attn else "mlp"
+        a = np.asarray(jnp.asarray(lp["a"], jnp.float32))
+        b = np.asarray(jnp.asarray(lp["b"], jnp.float32))
+        for l in range(a.shape[0]):
+            prefix = f"base_model.model.model.layers.{l}.{sub}.{name}"
+            tensors[f"{prefix}.lora_A.weight"] = np.ascontiguousarray(a[l].T)
+            tensors[f"{prefix}.lora_B.weight"] = np.ascontiguousarray(b[l].T)
+    save_file(tensors, os.path.join(path, "adapter_model.safetensors"))
+    with open(os.path.join(path, "adapter_config.json"), "w") as f:
+        json.dump({
+            "peft_type": "LORA",
+            "task_type": "FEATURE_EXTRACTION",
+            "r": r,
+            "lora_alpha": alpha,
+            "lora_dropout": lora_dropout,
+            "target_modules": targets,
+            "bias": "none",
+            "base_model_name_or_path": base_model_name_or_path,
+        }, f, indent=2)

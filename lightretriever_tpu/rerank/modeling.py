@@ -70,7 +70,7 @@ class CrossEncoder:
         if self.model_args.lora:
             params["lora"] = init_lora_params(
                 self.config, k3, r=self.model_args.lora_r,
-                modules=self.model_args.lora_target_modules, dtype=dtype,
+                target_modules=self.model_args.lora_target_modules, dtype=dtype,
             )
         return params
 

@@ -187,3 +187,51 @@ def test_encoder_model_save_load_roundtrip(tmp_path):
     a = model.encode_query(params, batch)
     b = model2.encode_query(params2, batch)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_peft_adapter_interchange(tmp_path):
+    """peft-trained LoRA adapters load into our tree; adapted forwards match
+    peft's own adapted model; our exported adapter loads back through peft."""
+    peft = pytest.importorskip("peft")
+    from lightretriever_tpu.models import decoder as dec
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.hf_loader import load_decoder_params
+    from lightretriever_tpu.models.lora import (
+        load_peft_adapter,
+        lora_scale,
+        save_peft_adapter,
+    )
+
+    hf_model, path = _save_tiny_llama(tmp_path)
+    lcfg = peft.LoraConfig(r=4, lora_alpha=8, lora_dropout=0.0,
+                           target_modules=["q_proj", "v_proj", "up_proj"],
+                           init_lora_weights=False,  # random (nonzero) B
+                           task_type=peft.TaskType.FEATURE_EXTRACTION)
+    pmodel = peft.get_peft_model(hf_model, lcfg).eval()
+    adapter_dir = str(tmp_path / "adapter")
+    pmodel.save_pretrained(adapter_dir)
+
+    cfg = DecoderConfig.from_pretrained(path)
+    params = load_decoder_params(path, cfg, dtype=jnp.float32)
+    lora, r, alpha = load_peft_adapter(adapter_dir, cfg)
+    assert r == 4 and alpha == 8
+    assert set(lora["layers"]) == {"q_proj", "v_proj", "up_proj"}
+
+    ids = np.random.default_rng(0).integers(3, 128, (2, 10))
+    with torch.no_grad():
+        want = pmodel.base_model.model.model(
+            input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    ours = dec.forward(params, jnp.asarray(ids, jnp.int32), config=cfg,
+                       causal=True, attn_impl="xla",
+                       lora=lora, lora_scale=lora_scale(r, alpha))
+    np.testing.assert_allclose(np.asarray(ours["last_hidden_state"]), want,
+                               rtol=3e-4, atol=3e-4)
+
+    # Roundtrip: export ours, reload via our loader, identical trees
+    export_dir = str(tmp_path / "exported_adapter")
+    save_peft_adapter(lora, cfg, export_dir, r=r, alpha=alpha)
+    lora2, r2, alpha2 = load_peft_adapter(export_dir, cfg)
+    assert (r2, alpha2) == (r, alpha)
+    for name in lora["layers"]:
+        np.testing.assert_allclose(np.asarray(lora["layers"][name]["a"]),
+                                   np.asarray(lora2["layers"][name]["a"]))

@@ -88,3 +88,50 @@ def test_sparse_down_projector_scatter_amax(rng):
     np.testing.assert_allclose(out[0, 7], scores[0, 1], rtol=1e-6)
     assert out[0, 0] == 0.0  # masked position does not scatter
     assert out[0, 1] == 0.0  # absent token
+
+
+def test_encoder_model_with_lora_trains():
+    """EncoderModel(lora=True): init, forward, grads flow ONLY to adapters
+    when base is frozen, merged export matches adapted forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightretriever_tpu.arguments import ModelArguments, TrainingArguments
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.encoder import EncoderModel
+    from lightretriever_tpu.models.lora import merge_lora
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, rope_theta=1e4,
+                        tie_word_embeddings=True)
+    ma = ModelArguments(pooling_strategy="lasttoken", attn_implementation="xla",
+                        lora=True, lora_r=4, lora_alpha=8)
+    model = EncoderModel(ma, TrainingArguments(), cfg)
+    params = model.init_params(jax.random.key(0))
+    assert "lora_qry" in params
+    key = jax.random.key(1)
+    q = {"input_ids": jax.random.randint(key, (2, 8), 3, 64),
+         "attention_mask": jnp.ones((2, 8), jnp.int32)}
+    p = {"input_ids": jax.random.randint(jax.random.fold_in(key, 1), (4, 8), 3, 64),
+         "attention_mask": jnp.ones((4, 8), jnp.int32)}
+    out = model.forward(params, q, p, training=True)
+    assert jnp.isfinite(out.loss)
+    g = jax.grad(lambda lp: model.forward({**params, "lora_qry": lp}, q, p).loss)(
+        params["lora_qry"])
+    gn = jax.tree_util.tree_reduce(lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
+    assert gn > 0  # grads reach the adapter
+
+    # B=0 at init -> adapted == base; after perturbing B, merged == adapted
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim == 3 and x.shape[1] == 4 else x,
+        params["lora_qry"])  # bump B matrices [L, r, out]
+    adapted = model.encode_query({**params, "lora_qry": lora}, q)
+    merged_tree = merge_lora(params["qry"], lora, r=4, alpha=8)
+    plain = EncoderModel(
+        ModelArguments(pooling_strategy="lasttoken", attn_implementation="xla"),
+        TrainingArguments(), cfg)
+    merged_out = plain.encode_query({"qry": merged_tree}, q)
+    np.testing.assert_allclose(np.asarray(adapted), np.asarray(merged_out),
+                               rtol=2e-3, atol=2e-3)
