@@ -425,15 +425,41 @@ class EncoderModel:
     def load(
         cls,
         model_dir: str,
-        model_args: ModelArguments,
+        model_args: Optional[ModelArguments] = None,
         train_args: Optional[TrainingArguments] = None,
         dtype=jnp.bfloat16,
         **tok_ids,
     ) -> tuple["EncoderModel", Params]:
-        """Load from a save() directory (or plain HF checkpoint dir)."""
+        """Load from a save() directory (or plain HF checkpoint dir).
+
+        When the directory carries a ``model_args.yaml`` (written by our
+        save() AND by the reference's, modeling_encoder.py:813-856), its
+        fields populate/override ModelArguments — so a checkpoint trained
+        with the reference loads with its pooling/hybrid/sparsify settings
+        intact. Unknown keys (torch-only knobs) are ignored.
+        """
         from .hf_loader import load_decoder_params
 
         train_args = train_args or TrainingArguments()
+        yaml_path = os.path.join(model_dir, "model_args.yaml")
+        if os.path.exists(yaml_path):
+            with open(yaml_path) as f:
+                saved = yaml.safe_load(f) or {}
+            known = {fld.name for fld in dataclasses.fields(ModelArguments)}
+            overrides = {k: (tuple(v) if isinstance(v, list) else v)
+                         for k, v in saved.items() if k in known}
+            if model_args is not None:
+                # explicit args win over the saved yaml
+                defaults = ModelArguments(pooling_strategy="lasttoken")
+                for k, v in dataclasses.asdict(model_args).items():
+                    dv = getattr(defaults, k, None)
+                    if v != dv and k in known:
+                        overrides[k] = tuple(v) if isinstance(v, list) else v
+            overrides.pop("model_name_or_path", None)
+            overrides.setdefault("pooling_strategy", "lasttoken")
+            model_args = ModelArguments(**overrides)
+        elif model_args is None:
+            model_args = ModelArguments(pooling_strategy="lasttoken")
         qry_dir = os.path.join(model_dir, "query_model")
         untied = os.path.isdir(qry_dir)
         params: Params = {}
