@@ -1,20 +1,23 @@
-"""Approximate-NN indexes for huge corpora: IVF on the MXU.
+"""Approximate-NN indexes for huge corpora: IVF and PQ on the MXU.
 
 The reference exposes Faiss ANN families — HNSW, PQ, HNSWSQ
-(reference: retriever/faiss_search.py:326-476, faiss_index.py:76-115). Graph
-walks (HNSW) and LUT-gather scoring (PQ-ADC) are pointer-chasing workloads
-that map terribly onto the TPU's vector units; the TPU-idiomatic coverage of
-the same capability space is:
+(reference: retriever/faiss_search.py:326-476, faiss_index.py:76-115).
+TPU-idiomatic coverage of that capability space:
 
   quality/speed knob   -> `approx_max_k` mode of FlatIPIndex (knn.py)
   memory compression   -> SQIndex (int8) / BinaryIndex (sign+rerank) (knn.py)
+                          and PQIndex here (M bytes/doc, ADC scoring
+                          reformulated as a one-hot GEMM — Faiss's LUT
+                          gathers do not vectorize on TPU, a [Q, M*C] x
+                          [M*C, N] matmul does)
   huge-corpus pruning  -> IVFIndex here: k-means coarse quantizer, probe the
                           top-``nprobe`` clusters, score candidates with
                           dense gathers + MXU matmuls, merge top-k on device.
 
-k-means training runs on device as repeated [S, C] matmuls (Lloyd
-iterations); cluster members are stored as a padded [C, M] id grid so every
-probe is a static-shape gather.
+HNSW itself (greedy graph walk) is inherently sequential pointer-chasing and
+is NOT ported; its role (sublinear candidate generation + rerank) is covered
+by IVF probing and PQ/binary rerank. k-means training runs on device as
+repeated [S, C] matmuls (Lloyd iterations).
 """
 from __future__ import annotations
 
@@ -172,3 +175,122 @@ class IVFIndex:
         best_s = np.array(best_s)
         best_i[~np.isfinite(best_s)] = -1
         return best_s, best_i
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed index, ADC scoring as a GEMM
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pq_score_chunk(lut, codes_chunk, valid, k: int):
+    """ADC scoring reshaped onto the MXU.
+
+    lut: [Q, M, C] per-query per-subspace inner products with the codebook;
+    codes_chunk: [N, M] uint8 codes. score[q, n] = sum_m lut[q, m, codes[n, m]]
+    == <lut flattened [Q, M*C] , one_hot(codes) [N, M*C]> — one GEMM per
+    chunk instead of Faiss's per-entry LUT gathers (which do not vectorize on
+    TPU).
+    """
+    q_, m, c = lut.shape
+    one_hot = jax.nn.one_hot(codes_chunk, c, dtype=lut.dtype)   # [N, M, C]
+    scores = jax.lax.dot_general(
+        lut.reshape(q_, m * c), one_hot.reshape(-1, m * c),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+class PQIndex:
+    """Product-quantization index (parity slot: PQFaissSearch,
+    faiss_search.py:326-384): D split into M subspaces, each vector stored as
+    M uint8 codebook ids (M bytes/doc), scored by asymmetric distance
+    computation. ``rerank_with_fp`` refines candidates with full-precision
+    rows like the reference's binary rerank trick."""
+
+    def __init__(
+        self,
+        n_subspaces: int = 16,
+        n_codes: int = 256,
+        kmeans_iters: int = 10,
+        chunk_docs: int = 65536,
+        keep_fp: bool = True,
+        mesh=None,  # accepted for registry compatibility
+        **_,
+    ):
+        self.m = n_subspaces
+        self.c = n_codes
+        self.kmeans_iters = kmeans_iters
+        self.chunk_docs = chunk_docs
+        self.keep_fp = keep_fp
+        self._host_chunks: list[np.ndarray] = []
+        self._n = 0
+        self._codebooks = None      # [M, C, dsub]
+        self._codes = None          # [N, M] uint8
+        self._fp = None
+        self._built = False
+
+    def __len__(self):
+        return self._n
+
+    def add(self, embeddings: np.ndarray) -> None:
+        self._host_chunks.append(np.asarray(embeddings, np.float32))
+        self._n += len(embeddings)
+        self._built = False
+
+    def _split(self, x: jnp.ndarray):
+        n, d = x.shape
+        assert d % self.m == 0, f"dim {d} % subspaces {self.m} != 0"
+        return x.reshape(n, self.m, d // self.m)
+
+    def _finalize(self):
+        if self._built:
+            return
+        emb = np.concatenate(self._host_chunks) if len(self._host_chunks) > 1 \
+            else self._host_chunks[0]
+        x = jnp.asarray(emb)
+        sub = self._split(x)                       # [N, M, dsub]
+        c = min(self.c, len(emb))
+        books, codes = [], []
+        for mi in range(self.m):
+            cb = kmeans(sub[:, mi, :], c, self.kmeans_iters, seed=mi)
+            scores = jax.lax.dot_general(
+                sub[:, mi, :], cb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # Euclidean assignment: argmin ||x - c||^2 = argmax (x.c - |c|^2/2)
+            norms = 0.5 * jnp.sum(cb.astype(jnp.float32) ** 2, axis=1)
+            codes.append(np.asarray(jnp.argmax(scores - norms[None, :], axis=1),
+                                    np.uint8))
+            books.append(np.asarray(cb, np.float32))
+        self._codebooks = jnp.asarray(np.stack(books))          # [M, C, dsub]
+        self._codes = np.stack(codes, axis=1)                   # [N, M] uint8
+        self._fp = emb if self.keep_fp else None
+        self._built = True
+
+    def search(self, queries: np.ndarray, k: int,
+               rerank_with_fp: bool = True, factor: int = 4):
+        self._finalize()
+        q = jnp.asarray(queries, jnp.float32)
+        qsub = self._split(q)                                    # [Q, M, dsub]
+        lut = jnp.einsum("qms,mcs->qmc", qsub, self._codebooks)  # [Q, M, C]
+        k_cand = min(k * factor if (rerank_with_fp and self._fp is not None) else k,
+                     self._n)
+        best_s = best_i = None
+        for lo in range(0, self._n, self.chunk_docs):
+            chunk = jnp.asarray(self._codes[lo: lo + self.chunk_docs], jnp.int32)
+            valid = jnp.ones((chunk.shape[0],), bool)
+            s, i = _pq_score_chunk(lut, chunk, valid, min(k_cand, chunk.shape[0]))
+            s = np.asarray(s, np.float32)
+            i = np.asarray(i, np.int64) + lo
+            if best_s is None:
+                best_s, best_i = s, i
+            else:
+                best_s, best_i = merge_topk(best_s, best_i, s, i, k_cand)
+        if rerank_with_fp and self._fp is not None:
+            qf = np.asarray(queries, np.float32)
+            cand = self._fp[np.maximum(best_i, 0)]
+            rs = np.einsum("qd,qkd->qk", qf, cand, dtype=np.float32)
+            rs[best_i < 0] = -np.inf
+            order = np.argsort(-rs, axis=1)[:, :k]
+            return (np.take_along_axis(rs, order, axis=1),
+                    np.take_along_axis(best_i, order, axis=1))
+        return best_s[:, :k], best_i[:, :k]

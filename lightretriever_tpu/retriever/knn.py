@@ -397,10 +397,17 @@ def _ivf_factory(**kwargs):
     return IVFIndex(**kwargs)
 
 
+def _pq_factory(**kwargs):
+    from .ann import PQIndex
+
+    return PQIndex(**kwargs)
+
+
 INDEX_REGISTRY = {
     "flat": FlatIPIndex,
     "sq": SQIndex,
     "binary": BinaryIndex,
     "pca": PCAIndex,
     "ivf": _ivf_factory,
+    "pq": _pq_factory,
 }

@@ -162,3 +162,21 @@ def test_ivf_index_recall(rng):
 
     cents = kmeans(jnp.asarray(corpus), 8, n_iters=5)
     assert cents.shape == (8, 32)
+
+
+def test_pq_index_recall(rng):
+    from lightretriever_tpu.retriever.ann import PQIndex
+
+    corpus, queries = _data(rng, n=400, d=32, q=8)
+    idx = PQIndex(n_subspaces=8, n_codes=32, chunk_docs=128)
+    idx.add(corpus[:200])
+    idx.add(corpus[200:])
+    # With fp rerank the top-1 should almost always match exact
+    s, i = idx.search(queries, 5, rerank_with_fp=True, factor=8)
+    ws, wi = _brute(queries, corpus, 5)
+    assert (i[:, 0] == wi[:, 0]).mean() >= 0.7
+    # Pure ADC (no rerank): reasonable recall, 8 bytes/doc memory
+    s2, i2 = idx.search(queries, 10, rerank_with_fp=False)
+    recall = np.mean([len(set(i2[r]) & set(wi[r, :5])) / 5 for r in range(8)])
+    assert recall >= 0.5
+    assert idx._codes.nbytes == 400 * 8  # M bytes per doc
