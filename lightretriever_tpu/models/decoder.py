@@ -134,11 +134,13 @@ def _linear(x, p, lora=None, lora_scale=1.0):
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
-def _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl, sm_scale):
+def _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl, sm_scale,
+               contiguous_segments=False):
     if attn_impl == "pallas":
         return flash_attention(
             q, k, v, segment_ids=segment_ids, causal=causal,
             prompt_len=prompt_len, sm_scale=sm_scale,
+            contiguous_segments=contiguous_segments,
         )
     return attention_reference(
         q, k, v, segment_ids=segment_ids, causal=causal,
@@ -149,6 +151,7 @@ def _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl, sm_scale):
 def _decoder_layer(
     hidden, layer_params, lora_params, cos, sin, segment_ids, config: DecoderConfig,
     causal: bool, prompt_len: int, attn_impl: str, lora_scale: float,
+    contiguous_segments: bool = False,
 ):
     b, s, h = hidden.shape
     nh, nkv, dh = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
@@ -163,7 +166,8 @@ def _decoder_layer(
     v = _linear(x, layer_params["v_proj"], lp("v_proj"), lora_scale).reshape(b, s, nkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl, 1.0 / (dh ** 0.5))
+    attn = _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl,
+                      1.0 / (dh ** 0.5), contiguous_segments)
     attn = attn.reshape(b, s, nh * dh)
     hidden = residual + _linear(attn, layer_params["o_proj"], lp("o_proj"), lora_scale)
 
@@ -209,6 +213,9 @@ def forward(
         needs_kernel = segment_ids is not None or prompt_len > 0 or s > 2048
         attn_impl = "pallas" if (jax.default_backend() == "tpu" and needs_kernel) \
             else "xla"
+    # Right-padded plain batches (segments derived from attention_mask, not a
+    # packed layout) let causal interior blocks skip masking in the kernel
+    contiguous_segments = segment_ids is None
     if segment_ids is None:
         if attention_mask is None:
             segment_ids = jnp.ones((b, s), jnp.int32)
@@ -227,6 +234,7 @@ def forward(
     layer_fn = functools.partial(
         _decoder_layer, config=config, causal=causal,
         prompt_len=prompt_len, attn_impl=attn_impl, lora_scale=lora_scale,
+        contiguous_segments=contiguous_segments,
     )
     if remat:
         layer_fn = jax.checkpoint(layer_fn, policy=jax.checkpoint_policies.nothing_saveable)
