@@ -204,3 +204,24 @@ def test_native_converter_parity_and_speed():
     tn = topt(reps, 100, use_native=True)
     tp = topt(reps, 100, use_native=False)
     assert tn == tp
+
+
+def test_asymmetric_dense_server(tok):
+    from lightretriever_tpu.inference.serving import AsymmetricDenseServer
+
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((40, 16)).astype(np.float32)
+    table = rng.standard_normal((64, 16)).astype(np.float32)
+    server = AsymmetricDenseServer(table, corpus, tok,
+                                   doc_ids=[f"d{i}" for i in range(40)],
+                                   dtype=np.float32)
+    s, ids = server.query(["the quick fox", "chocolate cake"], k=5)
+    assert s.shape == (2, 5) and ids.shape == (2, 5)
+    assert ids[0, 0].startswith("d")
+    # Parity vs manual: mean of table rows, normalized, dot, top-k
+    enc = tok(["the quick fox"], add_special_tokens=False)["input_ids"][0]
+    rep = table[enc].mean(0)
+    rep = rep / np.linalg.norm(rep)
+    want = np.argsort(-(rep @ corpus.T))[:5]
+    got = [int(x[1:]) for x in ids[0]]
+    np.testing.assert_array_equal(got, want)
