@@ -140,6 +140,22 @@ def main(
     return logs
 
 
+def _mp_fn(index: int = 0, *args):  # noqa: ARG001
+    """xla_spawn/torch-xla entry hook kept for parity (reference:
+    finetune/fit.py:248-252). On native JAX each process just calls main()."""
+    import json as _json
+
+    ma, da, ta = parse_args_from_json(
+        sys.argv[1], ModelArguments, DataArguments, TrainingArguments)
+    with open(sys.argv[1]) as _f:
+        _raw = _json.load(_f)
+    from ..utils.tokenizer_utils import load_tokenizer
+
+    tok = load_tokenizer(ma.tokenizer_name or ma.model_name_or_path)
+    return main(ma, da, ta, tokenizer=tok,
+                train_data_dir=_raw.get("train_data_dir"))
+
+
 if __name__ == "__main__":
     import json as _json
 
