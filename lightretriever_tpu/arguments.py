@@ -239,6 +239,7 @@ class TrainingArguments:
     # Logging / checkpointing
     logging_steps: int = 10
     save_steps: int = 500
+    save_total_limit: Optional[int] = None
     save_only_model: bool = False
     log_file: Optional[str] = None
     # Precision

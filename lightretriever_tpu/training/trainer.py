@@ -356,6 +356,7 @@ class ContrastiveTrainer:
             if ta.save_steps and (step_i + 1) % ta.save_steps == 0:
                 self.save_checkpoint(
                     os.path.join(ta.output_dir, f"checkpoint-{step_i + 1}"))
+                self._rotate_checkpoints()
         return last_logs
 
     # -- logging (parity: trainer.py:213-225, 366-400) -----------------------
@@ -390,6 +391,21 @@ class ContrastiveTrainer:
                    {"params": self.state.params, "opt_state": self.state.opt_state,
                     "step": self.state.step})
         ckptr.wait_until_finished()
+
+    def _rotate_checkpoints(self) -> None:
+        """Keep only the newest ``save_total_limit`` checkpoints (parity:
+        HF Trainer save_total_limit the reference inherits)."""
+        import shutil
+
+        limit = self.train_args.save_total_limit
+        if not limit:
+            return
+        out = self.train_args.output_dir
+        cands = sorted(
+            (d for d in os.listdir(out) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[-1]))
+        for stale in cands[:-limit]:
+            shutil.rmtree(os.path.join(out, stale), ignore_errors=True)
 
     def load_checkpoint(self, path: str):
         import orbax.checkpoint as ocp

@@ -295,3 +295,16 @@ def test_interleave_domain_budget():
     out = list(it)
     names = [x["domain_name"] for x in out]
     assert names.count("a") == 20 and names.count("b") == 10
+
+
+def test_save_total_limit(tok, tmp_path):
+    trainer, col = _make_trainer(tok, max_steps=6, save_steps=2,
+                                 save_total_limit=2)
+    trainer.train_args.output_dir = str(tmp_path)
+    it = train_dataloader(interleave_domains(
+        {"d": _groups(8)}, seed=0), col, batch_size=8)
+    trainer.train_iter = it
+    trainer.train()
+    import os
+    kept = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint-"))
+    assert kept == ["checkpoint-4", "checkpoint-6"]
