@@ -238,6 +238,7 @@ class TrainingArguments:
     gradient_accumulation_steps: int = 1
     # Logging / checkpointing
     logging_steps: int = 10
+    eval_steps: int = 0
     save_steps: int = 500
     save_total_limit: Optional[int] = None
     save_only_model: bool = False

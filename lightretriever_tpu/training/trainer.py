@@ -115,11 +115,13 @@ class ContrastiveTrainer:
         train_args: TrainingArguments,
         mesh=None,
         train_iter: Optional[Iterable[dict]] = None,
+        eval_batches: Optional[list[dict]] = None,
         compute_metrics: Optional[Callable] = None,
     ):
         self.model = model
         self.train_args = train_args
         self.train_iter = train_iter
+        self.eval_batches = eval_batches
         self.compute_metrics = compute_metrics
         self.mesh = mesh
         if mesh is None and train_args.mesh_shape:
@@ -353,11 +355,48 @@ class ContrastiveTrainer:
             self._accumulate_logs(logs)
             if (step_i + 1) % ta.logging_steps == 0:
                 last_logs = self._flush_logs(step_i + 1, t0)
+            if ta.eval_steps and (step_i + 1) % ta.eval_steps == 0 \
+                    and self.eval_batches:
+                eval_metrics = self.evaluate()
+                logger.info("eval @%d: %s", step_i + 1,
+                            {k: round(v, 4) for k, v in eval_metrics.items()})
+                if self._log_fh is not None:
+                    self._log_fh.write(json.dumps(
+                        {"step": step_i + 1, **{f"eval_{k}": v
+                                                for k, v in eval_metrics.items()}}) + "\n")
+                    self._log_fh.flush()
             if ta.save_steps and (step_i + 1) % ta.save_steps == 0:
                 self.save_checkpoint(
                     os.path.join(ta.output_dir, f"checkpoint-{step_i + 1}"))
                 self._rotate_checkpoints()
         return last_logs
+
+    def evaluate(self, eval_batches: Optional[list[dict]] = None) -> dict[str, float]:
+        """Dev-set in-batch ranking metrics (parity: finetune/metrics.py
+        via Trainer compute_metrics; reference fit.py wires them in)."""
+        from ..evaluation.metrics import in_batch_metrics
+
+        batches = eval_batches or self.eval_batches or []
+        metric_fn = self.compute_metrics or in_batch_metrics
+        if not hasattr(self, "_eval_fn"):
+            def _fwd(params, query, passage):
+                q = self.model.encode_query(params, query)
+                p = self.model.encode_passage(params, passage)
+                if isinstance(q, dict):
+                    q = q.get("dense_reps", next(iter(q.values())))
+                    p = p.get("dense_reps", next(iter(p.values())))
+                # Full in-batch matrix: in_batch_metrics targets col i*n_psg
+                return jnp.einsum("qd,pd->qp", q.astype(jnp.float32),
+                                  p.astype(jnp.float32))
+            self._eval_fn = jax.jit(_fwd)
+        agg: dict[str, list[float]] = {}
+        for batch in batches:
+            b, _, _ = self._prep_batch(batch)
+            scores = self._eval_fn(self.state.params, b["query"], b["passage"])
+            n_psg = b["passage"]["input_ids"].shape[0] // b["query"]["input_ids"].shape[0]
+            for k, v in metric_fn(np.asarray(scores), n_psg).items():
+                agg.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in agg.items()}
 
     # -- logging (parity: trainer.py:213-225, 366-400) -----------------------
     def _accumulate_logs(self, logs: dict[str, float]):

@@ -308,3 +308,15 @@ def test_save_total_limit(tok, tmp_path):
     import os
     kept = sorted(d for d in os.listdir(tmp_path) if d.startswith("checkpoint-"))
     assert kept == ["checkpoint-4", "checkpoint-6"]
+
+
+def test_in_training_evaluation(tok):
+    trainer, col = _make_trainer(tok, max_steps=2, eval_steps=1)
+    eval_batches = [next(train_dataloader(iter(_groups(8)), col, batch_size=8))]
+    trainer.eval_batches = eval_batches
+    trainer.train_iter = train_dataloader(
+        interleave_domains({"d": _groups(8)}, seed=0), col, batch_size=8)
+    trainer.train()
+    metrics = trainer.evaluate()
+    assert set(metrics) >= {"mrr", "ndcg@10", "recall@1"}
+    assert 0 <= metrics["mrr"] <= 1
