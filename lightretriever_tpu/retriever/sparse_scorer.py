@@ -72,6 +72,45 @@ def quantize_vecs(vecs: Sequence[SparseVec], quantization_factor: int = 100) -> 
 # ---------------------------------------------------------------------------
 # Device scoring
 # ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("vocab_size", "k", "chunk"))
+def _score_all_resident(q_dense, ids, vals, n_valid, vocab_size: int, k: int,
+                        chunk: int):
+    """Device-resident search: scan doc chunks inside ONE jit — scatter each
+    chunk to dense [chunk, V], GEMM, top-k, merge on device. One host round
+    trip for the whole corpus instead of one per chunk (the tunnel/dispatch
+    latency otherwise dominates: measured 33 -> ~1000s of QPS at V=128k)."""
+    n = ids.shape[0]
+    n_chunks = n // chunk
+    q_ = q_dense.shape[0]
+
+    def body(carry, ci):
+        best_s, best_i = carry
+        lo = ci * chunk
+        ids_c = jax.lax.dynamic_slice_in_dim(ids, lo, chunk, 0)
+        vals_c = jax.lax.dynamic_slice_in_dim(vals, lo, chunk, 0)
+        ok = ids_c >= 0
+        # Gather-side scoring: score[q, c] = sum_k vals[c, k] * qv[q, ids[c, k]]
+        # — reads only the touched qv columns; the dense-scatter formulation
+        # (zero [chunk, V] + scatter-add + GEMM) measured ~10x slower on TPU.
+        g = jnp.take(q_dense, jnp.where(ok, ids_c, 0), axis=1)   # [Q, chunk, K]
+        w = jnp.where(ok, vals_c, 0.0).astype(jnp.float32)
+        scores = jnp.einsum("qck,ck->qc", g.astype(jnp.float32), w)
+        doc_idx = lo + jnp.arange(chunk)
+        scores = jnp.where((doc_idx < n_valid)[None, :], scores, -jnp.inf)
+        s_k, i_k = jax.lax.top_k(scores, min(k, chunk))
+        g_k = jnp.take_along_axis(
+            jnp.broadcast_to(doc_idx[None, :], scores.shape), i_k, axis=1)
+        cat_s = jnp.concatenate([best_s, s_k], axis=1)
+        cat_i = jnp.concatenate([best_i, g_k], axis=1)
+        s2, sel = jax.lax.top_k(cat_s, k)
+        return (s2, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (jnp.full((q_, k), -jnp.inf, jnp.float32),
+            jnp.full((q_, k), -1, jnp.int32))
+    (s, i), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return s, i
+
+
 @functools.partial(jax.jit, static_argnames=("vocab_size", "k"))
 def _score_chunk(q_dense, ids, vals, valid_rows, vocab_size: int, k: int):
     """Scatter a doc chunk to dense [C, V] and score with one MXU matmul."""
@@ -201,6 +240,34 @@ class SparseImpactIndex:
             r += len(a)
         return ids, vals, r
 
+    def _search_resident(self, q, k: int):
+        """Single-device fast path: postings live on device; the whole corpus
+        scan is one jit call. Returns None when postings exceed the budget."""
+        kmax = max((a.shape[1] for a in self._ids), default=1)
+        postings_bytes = self._n * kmax * 8
+        if self._n == 0 or postings_bytes > (1 << 31):   # 2GB posting budget
+            return None
+        if getattr(self, "_res_ids", None) is None or self._res_n != self._n:
+            ids, vals, _ = self._stack(self._ids, self._vals)
+            chunk = min(self.chunk_docs, max(len(ids), 1))
+            pad = (-len(ids)) % chunk
+            if pad:
+                ids = np.concatenate([ids, np.full((pad, ids.shape[1]), -1, np.int32)])
+                vals = np.concatenate([vals, np.zeros((pad, vals.shape[1]), np.float32)])
+            self._res_ids = jnp.asarray(ids)
+            self._res_vals = jnp.asarray(vals)
+            self._res_chunk = chunk
+            self._res_n = self._n
+        k_eff = min(k, self._n)
+        s, i = _score_all_resident(
+            q, self._res_ids, self._res_vals, self._n,
+            self.vocab_size, k_eff, self._res_chunk)
+        s, i = jax.device_get((s, i))
+        s = np.asarray(s, np.float32)
+        i = np.asarray(i, np.int64)
+        i[~np.isfinite(s)] = -1
+        return s, i
+
     def _query_matrix(self, queries) -> np.ndarray:
         if isinstance(queries, np.ndarray):
             return queries.astype(np.float32)
@@ -215,6 +282,10 @@ class SparseImpactIndex:
         """Top-k impact search. ``queries``: [Q, V] dense array or list of dicts
         (token -> weight, typically integer token counts)."""
         q = jnp.asarray(self._query_matrix(queries), self.dtype)
+        if self.mesh is None:
+            out = self._search_resident(q, k)
+            if out is not None:
+                return out
         best_s = best_i = None
         offset = 0
         n_shards = self.mesh.shape[self.axis] if self.mesh else 1
