@@ -134,3 +134,73 @@ def bench_vs_full_encoder(
         "full_llm_qps": len(texts) / t_full,
         "query_speedup": t_full / t_asym,
     }
+
+
+class AsymmetricSparseServer:
+    """Asymmetric-sparse serving: parameter-free token-count queries scored
+    against the term-impact index (parity surface:
+    scripts/asymmetric_sparse_infer.ipynb — query = Counter(input_ids))."""
+
+    def __init__(self, impact_index, tokenizer,
+                 doc_ids: Optional[Sequence[str]] = None,
+                 max_query_tokens: int = 64,
+                 token_id_vector_type: str = "sum"):
+        self.index = impact_index
+        self.tokenizer = tokenizer
+        self.doc_ids = list(doc_ids) if doc_ids is not None else None
+        self.max_query_tokens = max_query_tokens
+        self.vector_type = token_id_vector_type
+
+    def query(self, texts: Sequence[str], k: int = 10):
+        from collections import Counter
+
+        enc = self.tokenizer(list(texts), max_length=self.max_query_tokens,
+                             truncation=True, add_special_tokens=False)["input_ids"]
+        if self.vector_type == "bow":
+            qvecs = [{int(t): 1.0 for t in set(r)} for r in enc]
+        else:
+            qvecs = [{int(t): float(c) for t, c in Counter(r).items()} for r in enc]
+        s, i = self.index.search(qvecs, k)
+        if self.doc_ids is not None:
+            named = np.asarray(self.doc_ids, dtype=object)[np.maximum(i, 0)]
+            return np.asarray(s, np.float32), named
+        return np.asarray(s, np.float32), np.asarray(i, np.int64)
+
+
+class AsymmetricHybridServer:
+    """Full LightRetriever serving: asymmetric dense + asymmetric sparse with
+    score fusion — the deployed configuration of the reference
+    (emb_tok system, hybrid_search.py:371-401)."""
+
+    def __init__(self, dense_server: AsymmetricDenseServer,
+                 sparse_server: AsymmetricSparseServer,
+                 fuse_weights: Sequence[float] = (0.7, 0.3),
+                 fuse_method: str = "linear"):
+        assert dense_server.doc_ids is not None and sparse_server.doc_ids is not None, \
+            "hybrid fusion needs doc_ids on both servers"
+        self.dense = dense_server
+        self.sparse = sparse_server
+        self.fuse_weights = list(fuse_weights)
+        self.fuse_method = fuse_method
+
+    def query(self, texts: Sequence[str], k: int = 10):
+        """texts -> list of [(doc_id, fused_score)] rankings per query."""
+        from ..retriever.fusion import fuse
+
+        ds, di = self.dense.query(texts, k)
+        ss, si = self.sparse.query(texts, k)
+
+        def to_results(scores, ids):
+            return {str(q): {str(p): float(x) for p, x in zip(row_i, row_s)
+                             if np.isfinite(x)}
+                    for q, (row_s, row_i) in enumerate(zip(scores, ids))}
+
+        fused = fuse([to_results(ds, di), to_results(ss, si)],
+                     method=self.fuse_method,
+                     **({"weights": self.fuse_weights}
+                        if self.fuse_method == "linear" else {}))
+        out = []
+        for q in range(len(texts)):
+            ranked = sorted(fused.get(str(q), {}).items(), key=lambda kv: -kv[1])[:k]
+            out.append(ranked)
+        return out

@@ -225,3 +225,39 @@ def test_asymmetric_dense_server(tok):
     want = np.argsort(-(rep @ corpus.T))[:5]
     got = [int(x[1:]) for x in ids[0]]
     np.testing.assert_array_equal(got, want)
+
+
+def test_asymmetric_sparse_and_hybrid_servers(tok):
+    from lightretriever_tpu.inference.serving import (
+        AsymmetricDenseServer,
+        AsymmetricHybridServer,
+        AsymmetricSparseServer,
+    )
+    from lightretriever_tpu.retriever.sparse_scorer import SparseImpactIndex
+
+    rng = np.random.default_rng(0)
+    doc_texts = ["the quick brown fox", "chocolate cake recipe",
+                 "tpu chips interconnect", "zebra safari elephant"]
+    doc_ids = [f"d{i}" for i in range(4)]
+    # Sparse side: doc impact vectors from token counts
+    idx = SparseImpactIndex(vocab_size=64)
+    vecs = []
+    for t in doc_texts:
+        ids = tok(t, add_special_tokens=False)["input_ids"]
+        vecs.append({int(i): 1.0 for i in ids})
+    idx.add(vecs, quantize=False)
+    sparse = AsymmetricSparseServer(idx, tok, doc_ids=doc_ids)
+    s, ids = sparse.query(["chocolate cake", "tpu interconnect"], k=2)
+    assert ids[0, 0] == "d1" and ids[1, 0] == "d2"
+
+    # Dense side: random reps (pipeline check)
+    corpus = rng.standard_normal((4, 16)).astype(np.float32)
+    table = rng.standard_normal((64, 16)).astype(np.float32)
+    dense = AsymmetricDenseServer(table, corpus, tok, doc_ids=doc_ids,
+                                  dtype=np.float32)
+    hybrid = AsymmetricHybridServer(dense, sparse)
+    results = hybrid.query(["chocolate cake", "tpu interconnect"], k=3)
+    assert len(results) == 2
+    assert all(isinstance(r, list) and r for r in results)
+    # Lexical evidence keeps the right doc in the fused candidates
+    assert "d1" in dict(results[0])
