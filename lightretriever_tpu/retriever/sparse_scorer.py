@@ -533,10 +533,11 @@ class InvertedImpactIndex:
         """queries: list of {term: weight} dicts (or [Q, V] dense array)."""
         self._finalize()
         if isinstance(queries, np.ndarray):
-            queries = [
-                {int(t): float(x) for t, x in zip(*np.nonzero(row)[:1] + (row[np.nonzero(row)],))}
-                for row in queries
-            ]
+            converted = []
+            for row in queries:
+                (nz,) = np.nonzero(row)
+                converted.append({int(t): float(row[t]) for t in nz})
+            queries = converted
         t_max = self.max_query_terms
         qt = np.full((len(queries), t_max), -1, np.int32)
         qw = np.zeros((len(queries), t_max), np.float32)

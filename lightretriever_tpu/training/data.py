@@ -477,16 +477,54 @@ def train_dataloader(
     collator: TrainCollator,
     batch_size: int,
     max_steps: Optional[int] = None,
+    prefetch: int = 2,
 ) -> Iterator[dict]:
     """Group examples into collated batches (drop_last always, the
-    reference's all-gather-hang guard, trainer.py:94-144)."""
-    buf: list[dict] = []
-    steps = 0
-    for ex in example_iter:
-        buf.append(ex)
-        if len(buf) == batch_size:
-            yield collator(buf)
-            buf = []
-            steps += 1
-            if max_steps and steps >= max_steps:
-                return
+    reference's all-gather-hang guard, trainer.py:94-144). With
+    ``prefetch > 0`` collation runs in a background thread so host
+    tokenization overlaps the device step (the single-process stand-in for
+    the reference's DataLoader worker processes)."""
+
+    def _batches() -> Iterator[dict]:
+        buf: list[dict] = []
+        steps = 0
+        for ex in example_iter:
+            buf.append(ex)
+            if len(buf) == batch_size:
+                yield collator(buf)
+                buf = []
+                steps += 1
+                if max_steps and steps >= max_steps:
+                    return
+
+    if prefetch <= 0:
+        yield from _batches()
+        return
+    yield from _prefetch_iter(_batches(), prefetch)
+
+
+def _prefetch_iter(it: Iterator[dict], size: int) -> Iterator[dict]:
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # surface errors in the consumer
+            q.put(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -145,3 +145,46 @@ def test_inverted_index_pruned_recall(rng):
     s, i = inv.search(queries, 10)
     recall = np.mean([len(set(i[r]) & set(ri[r])) / 10 for r in range(8)])
     assert recall >= 0.7
+
+
+def test_sparse_search_engines_agree(rng):
+    """SparseSearch inverted (default) vs exhaustive: same rankings on
+    uncapped data through the full search-strategy path."""
+    from lightretriever_tpu.retriever.search import SparseSearch
+
+    docs = [
+        {str(t): float(x * 100) for t, x in d.items()}  # pre-quantized json
+        for d in _rand_sparse(rng, 30)
+    ]
+    ids = [f"d{i}" for i in range(30)]
+    queries = ["1 2 3", "5 5 9", "12 40"]
+    qids = ["q0", "q1", "q2"]
+
+    results = {}
+    for engine in ("inverted", "exhaustive"):
+        ss = SparseSearch(vocab_size=V, engine=engine)
+        ss.index(docs, ids)
+        results[engine] = ss.retrieve_with_emb(queries, qids, top_k=5)
+        ss.clear()
+    for qid in qids:
+        a, b = results["inverted"][qid], results["exhaustive"][qid]
+        for pid in set(a) & set(b):
+            np.testing.assert_allclose(a[pid], b[pid], rtol=1e-5)
+        assert max(a, key=a.get, default=None) == max(b, key=b.get, default=None)
+
+
+def test_train_dataloader_prefetch(rng):
+    from lightretriever_tpu.training.data import _prefetch_iter
+
+    out = list(_prefetch_iter(iter(range(10)), 3))
+    assert out == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("inner error")
+
+    import pytest as _pytest
+    it = _prefetch_iter(boom(), 2)
+    assert next(it) == 1
+    with _pytest.raises(ValueError):
+        next(it)
