@@ -21,6 +21,7 @@ FLOPS/vector-norm regulators with scheduled scaling, sparse statistics logs.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -475,3 +476,29 @@ class HybridModel(EncoderModel):
         if q_reps is None or p_reps is None:
             return EncoderOutput(q_reps=q_reps, p_reps=p_reps)
         return self.compute_loss(q_reps, p_reps, ce_scores, only_hn, **kwargs)
+
+    # -- save / load (parity: modeling_hybrid.py:940-967 — spr poolers get
+    # their own files next to the HF weights) --------------------------------
+    def save(self, params: Params, output_dir: str) -> None:
+        import numpy as np
+
+        super().save(params, output_dir)
+        for key in ("spr_pooler_q", "spr_pooler_p"):
+            if key in params:
+                arrs = {k: np.asarray(jax.device_get(v))
+                        for k, v in params[key].items()}
+                np.savez(os.path.join(output_dir, f"{key}.npz"), **arrs)
+
+    @classmethod
+    def load(cls, model_dir: str, model_args=None, train_args=None,
+             dtype=jnp.bfloat16, **tok_ids):
+        import numpy as np
+
+        base, params = EncoderModel.load.__func__(
+            cls, model_dir, model_args, train_args, dtype, **tok_ids)
+        for key in ("spr_pooler_q", "spr_pooler_p"):
+            path = os.path.join(model_dir, f"{key}.npz")
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    params[key] = {k: jnp.asarray(z[k], dtype) for k in z.files}
+        return base, params

@@ -276,3 +276,24 @@ def test_bert_hybrid_with_down_projector():
     reps = model.encode_passage(params, p)
     assert reps["dense_reps"].shape == (3, 32)
     assert reps["sparse_reps"].shape == (3, 96)
+
+
+def test_hybrid_save_load_with_spr_pooler(tmp_path):
+    ma = _margs(hybrid_use_dense_vector=True, hybrid_use_sparse_vector=True,
+                use_sparse_linear_projector=True, sparse_use_relu=True)
+    model = HybridModel(ma, TrainingArguments(), TINY, eos_token_id=2)
+    params = model.init_params(jax.random.key(0))
+    assert "spr_pooler_q" in params
+    out_dir = str(tmp_path / "hyb")
+    model.save(params, out_dir)
+
+    model2, params2 = HybridModel.load(out_dir, dtype=jnp.float32)
+    assert "spr_pooler_q" in params2
+    np.testing.assert_allclose(
+        np.asarray(params["spr_pooler_q"]["kernel"], np.float32),
+        np.asarray(params2["spr_pooler_q"]["kernel"]), rtol=1e-6)
+    # Loaded model reproduces sparse reps
+    p = _batch(jax.random.key(2), 2, 8)
+    a = model.encode_passage(params, p)["sparse_reps"]
+    b = model2.encode_passage(params2, p)["sparse_reps"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3)
