@@ -265,14 +265,25 @@ class FlatIPIndex:
             emb = np.concatenate(self._host_chunks, axis=0) if len(self._host_chunks) > 1 \
                 else self._host_chunks[0]
             corpus_iter = (emb[i: i + chunk_rows] for i in range(0, len(emb), chunk_rows))
+
+        def stage(chunk):
+            # Device-put happens here, inside the prefetch thread, so the
+            # host->device transfer of chunk i+1 overlaps chunk i's search
+            sub = FlatIPIndex(self.mesh, self.dtype, self.axis,
+                              topk_method=self.topk_method,
+                              recall_target=self.recall_target)
+            sub.add(chunk)
+            sub._finalize()
+            return sub, len(chunk)
+
+        from ..training.data import _prefetch_iter
+
         best_s = best_i = None
         offset = 0
-        for chunk in corpus_iter:
-            sub = FlatIPIndex(self.mesh, self.dtype, self.axis)
-            sub.add(chunk)
-            s, i = sub.search(queries, min(k, len(chunk)), dim=dim)
+        for sub, n_chunk in _prefetch_iter(map(stage, corpus_iter), 1):
+            s, i = sub.search(queries, min(k, n_chunk), dim=dim)
             i = np.where(i >= 0, i + offset, -1)
-            offset += len(chunk)
+            offset += n_chunk
             if best_s is None:
                 best_s, best_i = s, i
             else:
