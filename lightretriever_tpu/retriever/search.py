@@ -126,6 +126,8 @@ class DenseRetrievalSearch:
                ignore_identical_ids: bool = False, **kwargs) -> Results:
         query_ids, query_list = _parse_ids_texts(queries)
         corpus_ids, corpus_list = _parse_ids_texts(corpus)
+        if not query_ids or not corpus_ids:
+            return {qid: {} for qid in query_ids}
         q_emb = self._extract(self.model.encode_queries(query_list, batch_size=self.batch_size))
 
         results: Results = {qid: {} for qid in query_ids}
@@ -310,6 +312,8 @@ class HybridSearch:
         query_ids, query_list = _parse_ids_texts(queries)
         corpus_ids, corpus_list = _parse_ids_texts(corpus)
 
+        if not query_ids or not corpus_ids:
+            return {} if not self.return_all_results else {"den": {}}
         logger.info("Encoding %d queries...", len(query_ids))
         q_emb = self.model.encode_queries(query_list, batch_size=self.batch_size)
         assert isinstance(q_emb, dict)

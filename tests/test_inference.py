@@ -261,3 +261,22 @@ def test_asymmetric_sparse_and_hybrid_servers(tok):
     assert all(isinstance(r, list) and r for r in results)
     # Lexical evidence keeps the right doc in the fused candidates
     assert "d1" in dict(results[0])
+
+
+def test_hybrid_search_with_mrl_dim(hybrid_encoder):
+    from lightretriever_tpu.retriever.search import HybridSearch
+
+    corpus = {f"d{i}": {"text": "document about topic"} for i in range(6)}
+    queries = {"q": "question topic"}
+    hs = HybridSearch(hybrid_encoder, vocab_size=TINY.vocab_size, mrl_dim=8,
+                      return_all_results=True)
+    results = hs.search(corpus, queries, top_k=3)
+    assert len(results["den"]["q"]) == 3
+
+
+def test_search_empty_query_set(hybrid_encoder):
+    from lightretriever_tpu.retriever.search import DenseRetrievalSearch
+
+    corpus = {"d0": {"text": "document"}}
+    res = DenseRetrievalSearch(hybrid_encoder).search(corpus, {}, top_k=3)
+    assert res == {}
