@@ -46,6 +46,41 @@ E5_INSTRUCTIONS: dict[str, list[str]] = {
     "nli": ["Given a premise, retrieve a hypothesis that is entailed by the premise",
             "Retrieve semantically similar text"],
     "sts": ["Retrieve semantically similar text"],
+    # Additional training mixtures (e5-family instruction set)
+    "dureader": ["Given a Chinese search query, retrieve web passages that answer the question"],
+    "t2ranking": ["Given a Chinese search query, retrieve web passages that answer the question"],
+    "mmarco": ["Given a web search query, retrieve relevant passages that answer the query"],
+    "squad_v2": ["Retrieve Wikipedia passages that answer the question"],
+    "natural_language_inference": ["Given a premise, retrieve a hypothesis that is entailed by the premise"],
+    "amazon_reviews": ["Given a title, retrieve reviews that discuss the same product"],
+    "amazon_qa": ["Given a question about a product, retrieve answers from other users"],
+    "gooaq": ["Given a web search query, retrieve the best answering passage"],
+    "yahoo_answers": ["Given a question, retrieve the most helpful answers"],
+    "stackexchange": ["Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question"],
+    "stackexchange_qa": ["Given a question posted on Stackexchange, retrieve answers that solve it"],
+    "wikihow": ["Given a summary, retrieve the corresponding article"],
+    "simple_wiki": ["Retrieve semantically similar text"],
+    "altlex": ["Retrieve semantically similar text"],
+    "specter": ["Given a scientific paper title, retrieve paper abstracts that are cited by the given paper"],
+    "s2orc": ["Given a paper title, retrieve the paper's abstract"],
+    "codesearchnet": ["Given a code comment, retrieve the implementing code"],
+    "xsum": ["Given a news summary, retrieve the source article"],
+    "cnn_dailymail": ["Given highlights of a news story, retrieve the article"],
+    "sentence_compression": ["Retrieve semantically similar text"],
+    "paq": ["Given a question, retrieve Wikipedia passages that answer the question"],
+    "ccnews": ["Given a news title, retrieve the article body"],
+    "npr": ["Given a news title, retrieve the article body"],
+    "agnews": ["Given a news title, retrieve the article body"],
+    "quora_duplicates": ["Given a question, retrieve questions that are semantically equivalent to the given question"],
+    "wikianswers": ["Retrieve duplicate questions from the WikiAnswers forum"],
+    "reddit": ["Given a post title, retrieve the post body"],
+    "medi": ["Judge whether the media content is relevant"],
+    # Clustering / classification style tasks (trained with only_hn masking)
+    "clustering_arxiv": ["Judge whether the passage is relevant to the cluster"],
+    "clustering_biorxiv": ["Judge whether the passage is relevant to the cluster"],
+    "clustering_medrxiv": ["Judge whether the passage is relevant to the cluster"],
+    "classification_amazon_polarity": ["Classify the sentiment of the review"],
+    "classification_emotion": ["Classify the emotion expressed in the text"],
 }
 
 # MTEB/BEIR eval-side task -> instruction (e5 format), lowercase task keys.
@@ -66,6 +101,37 @@ MTEB_TASK_INSTRUCTIONS: dict[str, str] = {
     "touche2020": "Given a question, retrieve detailed and persuasive arguments that answer the question",
     "trec-covid": "Given a query on COVID-19, retrieve documents that answer the query",
     "treccovid": "Given a query on COVID-19, retrieve documents that answer the query",
+    # Non-retrieval MTEB task families (classification/clustering/STS prompts)
+    "banking77classification": "Given an online banking query, find the corresponding intent",
+    "emotionclassification": "Classify the emotion expressed in the given Twitter message",
+    "imdbclassification": "Classify the sentiment expressed in the given movie review",
+    "amazonreviewsclassification": "Classify the given Amazon review into its appropriate rating category",
+    "arxivclusteringp2p": "Identify the main and secondary category of Arxiv papers based on the titles and abstracts",
+    "arxivclusterings2s": "Identify the main and secondary category of Arxiv papers based on the titles",
+    "redditclustering": "Identify the topic or theme of Reddit posts based on the titles",
+    "stackexchangeclustering": "Identify the topic or theme of StackExchange posts based on the titles",
+    "twentynewsgroupsclustering": "Identify the topic or theme of the given news articles",
+    "stsbenchmark": "Retrieve semantically similar text",
+    "sts12": "Retrieve semantically similar text",
+    "sts22": "Retrieve semantically similar text",
+    "sickr": "Retrieve semantically similar text",
+    "biosses": "Retrieve semantically similar text",
+    "askubuntudupquestions": "Retrieve duplicate questions from AskUbuntu forum",
+    "cqadupstackandroidretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackenglishretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackgamingretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackgisretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackmathematicaretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackphysicsretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackprogrammersretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackstatsretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstacktexretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackunixretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackwebmastersretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "cqadupstackwordpressretrieval": "Given a question, retrieve detailed question descriptions from Stackexchange that are duplicates to the given question",
+    "mindsmallreranking": "Retrieve relevant news articles based on user browsing history",
+    "scidocsrr": "Given a title of a scientific paper, retrieve the titles of other relevant papers",
+    "stackoverflowdupquestions": "Retrieve duplicate questions from StackOverflow forum",
 }
 
 
