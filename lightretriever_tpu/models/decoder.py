@@ -195,11 +195,17 @@ def forward(
     remat: bool = False,
     lora: Optional[Params] = None,
     lora_scale: float = 1.0,
+    right_padded: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Decoder forward. Returns {'last_hidden_state', 'hidden_states'?}.
 
     ``attention_mask`` [B, S] (1 = valid) is converted to segment ids if
-    ``segment_ids`` isn't given. ``hidden_states`` (when requested) is the
+    ``segment_ids`` isn't given. ``right_padded=True`` asserts every row of
+    ``attention_mask`` is [1...1, 0...0] (the framework tokenizer contract,
+    utils/tokenizer_utils.py:88); it enables the kernel's interior-block
+    mask skip. It MUST stay False for left-padded batches — the skip would
+    let valid tokens attend to front padding (silently wrong hidden states).
+    ``hidden_states`` (when requested) is the
     stacked [L+1, B, S, H] tuple-equivalent: embeddings first, final
     (pre-norm) layer outputs last — index like the reference's
     ``output_hidden_states`` tuple (dense_pooling.py:38-46 uses [0], [-2], [-1]).
@@ -210,9 +216,13 @@ def forward(
         # length (S=512: 1.9 vs 2.3ms XLA; S=2048: 6.3 vs 15.7; S=8192 XLA
         # OOMs) — always use it on TPU.
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    # Right-padded plain batches (segments derived from attention_mask, not a
-    # packed layout) let causal interior blocks skip masking in the kernel
-    contiguous_segments = segment_ids is None
+    # The causal interior-block mask skip is only sound when padding cannot
+    # precede valid tokens: either there is no mask at all, or the caller
+    # vouches for right padding. (A left-padded mask with the skip enabled
+    # lets valid tokens attend to padding keys.)
+    contiguous_segments = segment_ids is None and (
+        attention_mask is None or right_padded
+    )
     if segment_ids is None:
         if attention_mask is None:
             segment_ids = jnp.ones((b, s), jnp.int32)

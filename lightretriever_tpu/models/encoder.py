@@ -255,6 +255,10 @@ class EncoderModel:
             attention_mask=batch.get("attention_mask"),
             position_ids=batch.get("position_ids"),
             segment_ids=batch.get("segment_ids"),
+            # Collator batches are right-padded by the framework tokenizer
+            # contract (utils/tokenizer_utils.py:88 forces padding_side=right),
+            # so the kernel's interior-block mask skip is sound here.
+            right_padded=True,
             **common,
         )
         return out

@@ -207,3 +207,56 @@ def test_save_load_roundtrip(tmp_path, rng):
     flat2 = jax.tree_util.tree_leaves(reloaded)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+def test_contiguous_segments_derivation(tiny_llama_dir, rng, monkeypatch):
+    """ADVICE r1 #2: the interior-block mask skip must only engage when the
+    caller vouches for right padding (or there is no mask at all) — a
+    left-padded mask with the skip lets valid tokens attend to padding."""
+    import lightretriever_tpu.models.decoder as dmod
+
+    path, _ = tiny_llama_dir
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 16)))
+    captured = []
+    orig = dmod.flash_attention
+
+    def spy(*a, **kw):
+        captured.append(kw.get("contiguous_segments"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dmod, "flash_attention", spy)
+
+    mask_left = np.ones((2, 16), np.int32)
+    mask_left[0, :5] = 0
+    dmod.forward(params, ids, jnp.asarray(mask_left), config=config, attn_impl="pallas")
+    assert captured and all(c is False for c in captured), \
+        "left-capable mask must not enable the skip by default"
+
+    captured.clear()
+    mask_right = np.ones((2, 16), np.int32)
+    mask_right[0, 11:] = 0
+    dmod.forward(params, ids, jnp.asarray(mask_right), config=config,
+                 attn_impl="pallas", right_padded=True)
+    assert captured and all(c is True for c in captured)
+
+    captured.clear()
+    dmod.forward(params, ids, config=config, attn_impl="pallas")  # no mask
+    assert captured and all(c is True for c in captured)
+
+
+def test_pallas_left_padding_parity(tiny_llama_dir, rng):
+    """Left-padded batches through the Pallas path (safe default) must match
+    the XLA reference on valid rows."""
+    path, _ = tiny_llama_dir
+    params, config = load_decoder_checkpoint(path, dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 16)))
+    mask = np.ones((2, 16), np.int32)
+    mask[0, :5] = 0  # left padding
+    out_xla = dec.forward(params, ids, jnp.asarray(mask), config=config,
+                          attn_impl="xla")["last_hidden_state"]
+    out_pl = dec.forward(params, ids, jnp.asarray(mask), config=config,
+                         attn_impl="pallas")["last_hidden_state"]
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(np.asarray(out_pl)[valid], np.asarray(out_xla)[valid],
+                               atol=1e-4, rtol=1e-3)

@@ -144,3 +144,101 @@ def test_bf16_forward_tolerance(rng):
     np.testing.assert_allclose(
         np.asarray(got, dtype=np.float32), np.asarray(want), atol=3e-2, rtol=3e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 regression tests (ADVICE r1 findings)
+# ---------------------------------------------------------------------------
+def test_fat_causal_unequal_blocks(rng):
+    """ADVICE r1 #1: fat causal kernels with block_q > block_k skipped
+    near-diagonal kv blocks (old k_hi = qi*bq//bk + 1). Exercise the fat path
+    with block_q=32 / block_k=16 and check fwd+bwd parity."""
+    from lightretriever_tpu.ops.flash_attention import _use_fat_path
+
+    q, k, v = rand_qkv(rng, b=1, sq=64, skv=64, h=2, hkv=2, d=32)
+    assert _use_fat_path(64, 64, 1, 32, 16, True)
+
+    got = flash_attention(q, k, v, causal=True, interpret=True, block_q=32, block_k=16)
+    want = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, interpret=True, block_q=32, block_k=16)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, causal=True)
+        return jnp.sum(o * jnp.sin(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=5e-4, err_msg=name)
+
+
+def test_fat_backward_dispatched(rng, monkeypatch):
+    """ADVICE r1 #3: the fused fat backward must actually be dispatched when
+    the forward takes the fat path (it previously never ran)."""
+    import lightretriever_tpu.ops.flash_attention as fa
+
+    calls = []
+    orig = fa._fa_bwd_gqa_fat
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_fa_bwd_gqa_fat", spy)
+
+    q, k, v = rand_qkv(rng, b=1, sq=64, skv=64, h=4, hkv=2, d=32)
+    seg = np.ones((1, 64), np.int32)
+    seg[0, 50:] = 0
+    seg_j = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        o = fa.flash_attention(q, k, v, segment_ids=seg_j, causal=True,
+                               interpret=True, block_q=32, block_k=32)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, segment_ids=seg_j, causal=True)
+        return jnp.sum(o ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    assert calls, "fat backward was not dispatched"
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=5e-4, err_msg=name)
+
+
+def test_contiguous_segments_right_padded(rng):
+    """ADVICE r1 #2 (kernel half): with contiguous_segments=True and a
+    right-padded batch, valid rows must still be exact across multiple blocks
+    (interior-block skip engaged), forward and backward."""
+    q, k, v = rand_qkv(rng, b=2, sq=64, skv=64, h=2, hkv=2, d=32)
+    seg = np.ones((2, 64), np.int32)
+    seg[0, 40:] = 0
+    seg_j = jnp.asarray(seg)
+    valid = seg.astype(bool)
+
+    got = flash_attention(q, k, v, segment_ids=seg_j, causal=True, interpret=True,
+                          block_q=16, block_k=16, contiguous_segments=True)
+    want = attention_reference(q, k, v, segment_ids=seg_j, causal=True)
+    np.testing.assert_allclose(np.asarray(got)[valid], np.asarray(want)[valid],
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, segment_ids=seg_j, causal=True, interpret=True,
+                            block_q=16, block_k=16, contiguous_segments=True)
+        # only valid rows contribute (padding rows are garbage under the skip,
+        # by contract they are masked downstream)
+        return jnp.sum((o * seg_j[:, :, None, None]) ** 2)
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, segment_ids=seg_j, causal=True)
+        return jnp.sum((o * seg_j[:, :, None, None]) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=5e-4, err_msg=name)
