@@ -255,7 +255,12 @@ class TrainingArguments:
     distill_coef: float = 1.0
     distill_temperature: float = 1.0
     loss_reduction: str = "mean"
-    negatives_x_device: bool = False
+    # Cross-device in-batch negatives. Default ON to match the reference's
+    # canonical recipe (scripts/finetune_example.sh:121 passes
+    # --negatives_x_device); False restricts each query's negatives to its
+    # own data-shard group via local_negatives_mask (the trainer passes
+    # device_group_q automatically).
+    negatives_x_device: bool = True
 
     # Hybrid
     sparse_temperature: float = 1.0

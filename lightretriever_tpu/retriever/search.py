@@ -163,10 +163,14 @@ class SparseSearch:
     """Impact search (parity: AnseriniSearch, anserini_search.py:31-335,
     impact scoring mode). Engines:
 
-    * ``inverted`` (default): impact-pruned inverted index — the Lucene
-      analogue; ~7x faster than exhaustive at 100k docs with recall ~0.997
-      (sparse_scorer.InvertedImpactIndex).
-    * ``exhaustive``: dense-chunk GEMM scorer, exact, mesh-shardable.
+    * ``exhaustive`` (default): dense-chunk GEMM scorer — EXACT top-k, the
+      evaluation-parity choice (the reference's Lucene impact search is
+      exact); mesh-shardable.
+    * ``inverted``: impact-pruned inverted index — the Lucene-shaped fast
+      path; ~7x faster than exhaustive at 100k docs with recall ~0.997 on
+      synthetic impacts, but postings are capped (postings_cap/term, queries
+      truncated to max_query_terms) so results can diverge on corpora where
+      common-term document frequency exceeds the cap. Opt in for serving.
     """
 
     def __init__(
@@ -179,7 +183,7 @@ class SparseSearch:
         bm25: bool = False,
         bm25_k1: float = 0.9,
         bm25_b: float = 0.4,
-        engine: str = "inverted",
+        engine: str = "exhaustive",
         postings_cap: int = 1024,
         max_query_terms: int = 256,
     ):

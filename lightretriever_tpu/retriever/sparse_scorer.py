@@ -526,8 +526,17 @@ class InvertedImpactIndex:
         self._inv_docs = jnp.asarray(inv_docs)
         self._inv_vals = jnp.asarray(inv_vals)
         self._built = True
-        logger.info("inverted index: %d docs, %d/%d terms pruned to cap %d",
-                    len(self._vecs), self.pruned_terms, len(postings), self.cap)
+        if self.pruned_terms > 0:
+            # Pruning makes top-k approximate; evaluation-parity runs should
+            # use SparseSearch(engine="exhaustive") (ADVICE r1 #4).
+            logger.warning(
+                "inverted index: %d docs, %d/%d terms pruned to cap %d — "
+                "results are approximate (use engine='exhaustive' for exact "
+                "evaluation parity)",
+                len(self._vecs), self.pruned_terms, len(postings), self.cap)
+        else:
+            logger.info("inverted index: %d docs, %d terms, no pruning (exact)",
+                        len(self._vecs), len(postings))
 
     def search(self, queries, k: int) -> tuple[np.ndarray, np.ndarray]:
         """queries: list of {term: weight} dicts (or [Q, V] dense array)."""
