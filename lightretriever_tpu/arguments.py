@@ -316,6 +316,18 @@ class InferenceArguments(ModelArguments):
     quantization_factor: int = 100
     anserini_vector_type: str = "json"  # json | pseudo_text
     debug: bool = False  # single-chip in-process encode
+    # Parameter placement for SPMD encoding (the reference's whole RPC farm
+    # exists to serve an 8B doc tower across many GPUs,
+    # inference/exact_search_torchrpc.py:50-101; on TPU a sharding spec does
+    # the same job). "replicated" needs the full tower per chip; "fsdp"
+    # shards params over the data axis (XLA all-gathers per layer);
+    # "hybrid" adds tensor-parallel over the model axis. "auto" picks
+    # hybrid when the mesh has a model axis >1, fsdp when params exceed
+    # shard_params_threshold_bytes, else replicated.
+    shard_params_inference: str = "auto"  # auto | replicated | fsdp | hybrid
+    shard_params_threshold_bytes: int = 8 * 1024**3
+    # Params smaller than this (elements) stay replicated under fsdp/hybrid
+    shard_params_min_size: int = 2**16
     # Retrieval knobs
     retrieval_use_dense: bool = True
     retrieval_use_sparse: bool = False
