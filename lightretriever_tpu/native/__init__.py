@@ -18,25 +18,31 @@ from typing import Optional
 
 logger = logging.getLogger(__name__)
 
-_SRC = os.path.join(os.path.dirname(__file__), "converter.cpp")
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_ICU_LIB: Optional[ctypes.CDLL] = None
+_ICU_TRIED = False
 
 
-def _build_lib() -> Optional[str]:
-    with open(_SRC, "rb") as f:
+def _build_lib(src_name: str, extra_flags: tuple[str, ...] = ()) -> Optional[str]:
+    """Lazily compile ``src_name`` (in this directory) into a content-hashed
+    cached shared object; returns its path or None on toolchain failure."""
+    src = os.path.join(os.path.dirname(__file__), src_name)
+    with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     cache_dir = os.path.join(tempfile.gettempdir(), "lightretriever_tpu_native")
     os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, f"converter_{digest}.so")
+    stem = os.path.splitext(src_name)[0]
+    so_path = os.path.join(cache_dir, f"{stem}_{digest}.so")
     if os.path.exists(so_path):
         return so_path
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", so_path]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+           "-o", so_path, *extra_flags]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so_path
-    except Exception as e:  # missing toolchain etc. -> numpy fallback
-        logger.warning("native converter build failed (%s); using numpy fallback", e)
+    except Exception as e:  # missing toolchain etc. -> pure-python fallback
+        logger.warning("native build of %s failed (%s); using fallback", src_name, e)
         return None
 
 
@@ -45,7 +51,7 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    so = _build_lib()
+    so = _build_lib("converter.cpp")
     if so is None:
         return None
     lib = ctypes.CDLL(so)
@@ -84,3 +90,28 @@ def native_sparse_convert(reps, quantization_factor: int, pseudo_text: bool):
         lib.lr_free(ptr)
     lines = raw.split("\n")[:b]
     return lines
+
+
+def get_icu_lib() -> Optional[ctypes.CDLL]:
+    """Load the ICU4C word-segmenter wrapper (icu_segmenter.cpp), or None if
+    the toolchain or the system ICU runtime is unavailable."""
+    global _ICU_LIB, _ICU_TRIED
+    if _ICU_LIB is not None or _ICU_TRIED:
+        return _ICU_LIB
+    _ICU_TRIED = True
+    so = _build_lib("icu_segmenter.cpp", ("-ldl",))
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.lr_icu_available.restype = ctypes.c_int
+    lib.lr_icu_open.restype = ctypes.c_void_p
+    lib.lr_icu_open.argtypes = [ctypes.c_char_p]
+    lib.lr_icu_close.argtypes = [ctypes.c_void_p]
+    lib.lr_icu_segment.restype = ctypes.c_void_p
+    lib.lr_icu_segment.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.lr_icu_free.argtypes = [ctypes.c_void_p]
+    if not lib.lr_icu_available():
+        logger.warning("system ICU runtime not found; regex word segmentation fallback")
+        return None
+    _ICU_LIB = lib
+    return _ICU_LIB
