@@ -72,38 +72,97 @@ def _trunc_inv_norms(corpus: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Device search kernels
 # ---------------------------------------------------------------------------
-def _topk(scores: jnp.ndarray, k: int, method: str, recall_target: float):
-    """Top-k dispatch: exact ``lax.top_k`` or the TPU-optimized
-    ``lax.approx_max_k`` (MIPS bucketing; measured recall ~0.997 at 0.99
-    target over 500k docs, several-x faster than exact sort)."""
-    if method == "approx":
-        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
-    return jax.lax.top_k(scores, k)
+# Exact-path scan chunk: bounds the materialized score block to [Q, chunk]
+# (the full [Q, N] fp32 matrix at N=500k/Q=2048 is 4 GB — it OOMs alongside
+# the resident corpus) and keeps XLA's slow TopK sort on modest widths.
+_EXACT_CHUNK_ROWS = 131_072
 
 
-@functools.partial(jax.jit, static_argnames=("k", "method", "recall_target"))
-def _topk_single(q: jnp.ndarray, corpus: jnp.ndarray, valid: jnp.ndarray,
-                 inv_norms: jnp.ndarray, k: int,
-                 method: str = "exact", recall_target: float = 0.99):
-    """Single-shard top-k: [Q, D] x [N, D] -> ([Q, k], [Q, k]).
+def _scores_block(q, corpus, valid, inv_norms):
+    s = jax.lax.dot_general(
+        q, corpus.astype(q.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * inv_norms[None, :]
+    return jnp.where(valid[None, :], s, -jnp.inf)
+
+
+def _merge_pairs(sa, ia, sb, ib, k):
+    cat_s = jnp.concatenate([sa, sb], axis=1)
+    cat_i = jnp.concatenate([ia, ib], axis=1)
+    s, sel = jax.lax.top_k(cat_s, k)
+    return s, jnp.take_along_axis(cat_i, sel, axis=1)
+
+
+def _fused_search(q, corpus, valid, inv_norms, k: int, method: str,
+                  recall_target: float, oversample: int):
+    """[Q, D] x [N, D] -> ([Q, k], [Q, k]) in one fused program.
+
+    method="exact": lax.scan over corpus chunks with a running top-k carry —
+      mathematically exact, O(Q*chunk) peak memory (TPU-profiled: ~1.5x the
+      round-1 monolithic matmul+top_k, and it removes the [Q, N] HBM blowup).
+    method="approx": lax.approx_max_k fused into the matmul epilogue (XLA
+      PartialReduce, the MXU-native top-k primitive; TPU-profiled 500k x 1024
+      top-100: 49k QPS @ recall .997 at rt=0.99 vs 5.7k exact). ``oversample``
+      retrieves k*oversample candidates then exact-top-ks them, trading QPS
+      for recall (k*2 @ rt=0.95: 94k QPS @ .987).
 
     ``inv_norms`` [N] rescales scores per row — ones normally; reciprocal
     truncated-dim norms for renormalized MRL search (matching the reference's
     shrink-then-renormalize, modeling_hybrid.py:605-622, without re-indexing).
     """
-    scores = jax.lax.dot_general(
-        q, corpus.astype(q.dtype),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores * inv_norms[None, :]
-    scores = jnp.where(valid[None, :], scores, -jnp.inf)
-    return _topk(scores, k, method, recall_target)
+    n = corpus.shape[0]
+    if method == "approx":
+        scores = _scores_block(q, corpus, valid, inv_norms)
+        kk = min(k * oversample, n)
+        s, i = jax.lax.approx_max_k(scores, kk, recall_target=recall_target)
+        if kk > k:
+            s, sel = jax.lax.top_k(s, k)
+            i = jnp.take_along_axis(i, sel, axis=1)
+        return s, i
+
+    # exact: chunked scan + tail
+    chunk = min(_EXACT_CHUNK_ROWS, n)
+    nch = n // chunk
+    qn = q.shape[0]
+    init = (jnp.full((qn, k), -jnp.inf, jnp.float32),
+            jnp.zeros((qn, k), jnp.int32))
+    if nch > 0:
+        body = corpus[: nch * chunk].reshape(nch, chunk, -1)
+        v3 = valid[: nch * chunk].reshape(nch, chunk)
+        inv3 = inv_norms[: nch * chunk].reshape(nch, chunk)
+        offs = jnp.arange(nch, dtype=jnp.int32) * chunk
+
+        def step(carry, xs):
+            cb, vb, ib, off = xs
+            s1, i1 = jax.lax.top_k(_scores_block(q, cb, vb, ib), k)
+            return _merge_pairs(*carry, s1, i1 + off, k), None
+
+        init, _ = jax.lax.scan(step, init, (body, v3, inv3, offs))
+    tail = n - nch * chunk
+    if tail > 0:
+        s1, i1 = jax.lax.top_k(
+            _scores_block(q, corpus[nch * chunk:], valid[nch * chunk:],
+                          inv_norms[nch * chunk:]),
+            min(k, tail))
+        init = _merge_pairs(*init, s1, i1 + nch * chunk, k)
+    return init
+
+
+@functools.partial(jax.jit, static_argnames=("k", "method", "recall_target",
+                                             "oversample"))
+def _topk_single(q: jnp.ndarray, corpus: jnp.ndarray, valid: jnp.ndarray,
+                 inv_norms: jnp.ndarray, k: int,
+                 method: str = "exact", recall_target: float = 0.99,
+                 oversample: int = 1):
+    return _fused_search(q, corpus, valid, inv_norms, k, method,
+                         recall_target, oversample)
 
 
 def _make_sharded_topk(mesh: Mesh, k_local: int, k_final: int, axis: str = "data",
-                       method: str = "exact", recall_target: float = 0.99):
-    """shard_map search: per-shard matmul+top_k, all-gather k candidates, merge.
+                       method: str = "exact", recall_target: float = 0.99,
+                       oversample: int = 1):
+    """shard_map search: per-shard fused search, all-gather k candidates, merge.
 
     Replaces Faiss GPU shard mode (faiss_index.py:60-70): each chip scores its
     corpus rows; only [Q, shards*k_local] candidates cross ICI.
@@ -111,13 +170,8 @@ def _make_sharded_topk(mesh: Mesh, k_local: int, k_final: int, axis: str = "data
     from jax import shard_map
 
     def _search(q, corpus, valid, inv_norms, row_offset):
-        scores = jax.lax.dot_general(
-            q, corpus.astype(q.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        scores = scores * inv_norms[None, :]
-        scores = jnp.where(valid[None, :], scores, -jnp.inf)
-        s, i = _topk(scores, k_local, method, recall_target)
+        s, i = _fused_search(q, corpus, valid, inv_norms, k_local,
+                             method, recall_target, oversample)
         gids = i + row_offset[0]
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)     # [Q, shards*k_local]
         g_all = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
@@ -149,12 +203,14 @@ class FlatIPIndex:
         axis: str = "data",
         topk_method: str = "exact",       # exact | approx (lax.approx_max_k)
         recall_target: float = 0.99,      # approx mode only
+        oversample: int = 1,              # approx mode: fetch k*oversample, re-top-k
     ):
         self.mesh = mesh
         self.dtype = dtype
         self.axis = axis
         self.topk_method = topk_method
         self.recall_target = recall_target
+        self.oversample = oversample
         self._host_chunks: list[np.ndarray] = []
         self._corpus: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
@@ -204,12 +260,17 @@ class FlatIPIndex:
     # -- search ------------------------------------------------------------
     def search(
         self, queries: np.ndarray, k: int, dim: Optional[int] = None,
-        renormalize: bool = True,
+        renormalize: bool = True, return_device: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact top-k. ``dim``: MRL truncated search over leading columns
+        """Top-k search. ``dim``: MRL truncated search over leading columns
         (zero-copy slice of the resident index); with ``renormalize`` scores
         are rescaled by the truncated corpus-row norms, matching a
-        renormalized (cosine) truncated index without rebuilding it."""
+        renormalized (cosine) truncated index without rebuilding it.
+
+        ``return_device=True`` skips the host transfer and returns device
+        arrays (scores fp32, ids int32, padding ids NOT mapped to -1) so a
+        pipelined server can overlap successive searches; call
+        ``jax.device_get`` / np.asarray when the results are needed."""
         self._finalize()
         assert self._corpus is not None, "search on empty index"
         k_eff = min(k, self._n)
@@ -236,12 +297,16 @@ class FlatIPIndex:
                 self._search_fns[key] = _make_sharded_topk(
                     self.mesh, k_local, k_eff, self.axis,
                     method=self.topk_method, recall_target=self.recall_target,
+                    oversample=self.oversample,
                 )
             s, i = self._search_fns[key](q, corpus, valid, inv_norms, self._offsets)
         else:
             s, i = _topk_single(q, corpus, valid, inv_norms, k_eff,
                                 method=self.topk_method,
-                                recall_target=self.recall_target)
+                                recall_target=self.recall_target,
+                                oversample=self.oversample)
+        if return_device:
+            return s, i
         s, i = jax.device_get((s, i))  # one host round-trip for both
         s = np.asarray(s, np.float32)
         i = np.asarray(i, np.int64)
@@ -271,7 +336,8 @@ class FlatIPIndex:
             # host->device transfer of chunk i+1 overlaps chunk i's search
             sub = FlatIPIndex(self.mesh, self.dtype, self.axis,
                               topk_method=self.topk_method,
-                              recall_target=self.recall_target)
+                              recall_target=self.recall_target,
+                              oversample=self.oversample)
             sub.add(chunk)
             sub._finalize()
             return sub, len(chunk)

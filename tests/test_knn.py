@@ -180,3 +180,46 @@ def test_pq_index_recall(rng):
     recall = np.mean([len(set(i2[r]) & set(wi[r, :5])) / 5 for r in range(8)])
     assert recall >= 0.5
     assert idx._codes.nbytes == 400 * 8  # M bytes per doc
+
+
+def test_exact_scan_path_with_chunking(rng, monkeypatch):
+    # Force the scan path to take multiple chunks + a tail remainder
+    from lightretriever_tpu.retriever import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "_EXACT_CHUNK_ROWS", 37)
+    corpus, queries = _data(rng, n=150)  # 4 chunks of 37 + tail of 2
+    idx = FlatIPIndex(mesh=None, dtype=np.float32)
+    idx.add(corpus)
+    s, i = idx.search(queries, 10)
+    ws, wi = _brute(queries, corpus, 10)
+    np.testing.assert_array_equal(i, wi)
+    np.testing.assert_allclose(s, ws, rtol=1e-5)
+
+
+def test_approx_oversample_and_return_device(rng):
+    import jax
+
+    corpus, queries = _data(rng, n=256, q=9)
+    idx = FlatIPIndex(mesh=None, dtype=np.float32, topk_method="approx",
+                      recall_target=0.95, oversample=2)
+    idx.add(corpus)
+    s_dev, i_dev = idx.search(queries, 10, return_device=True)
+    assert isinstance(s_dev, jax.Array) and s_dev.shape == (9, 10)
+    s, i = idx.search(queries, 10)
+    ws, wi = _brute(queries, corpus, 10)
+    # oversampled approx on a small corpus: expect near-perfect recall
+    rec = np.mean([len(np.intersect1d(a, b)) / 10 for a, b in zip(i, wi)])
+    assert rec >= 0.9, rec
+    np.testing.assert_array_equal(np.asarray(i_dev), i)
+
+
+def test_sharded_approx_matches_single_approx_recall(rng, mesh8):
+    corpus, queries = _data(rng, n=512, q=9)
+    idx = FlatIPIndex(mesh=mesh8, dtype=np.float32, topk_method="approx",
+                      recall_target=0.99, oversample=2)
+    idx.add(corpus)
+    s, i = idx.search(queries, 10)
+    ws, wi = _brute(queries, corpus, 10)
+    rec = np.mean([len(np.intersect1d(a, b)) / 10 for a, b in zip(i, wi)])
+    assert rec >= 0.9, rec
+    assert (np.diff(s, axis=1) <= 1e-6).all()  # sorted descending
