@@ -47,8 +47,13 @@ def construct_embedding_bag(
     cfg = model.config_qry
     v = vocab_size or cfg.vocab_size
     if tokenizer is not None:
-        bos_token_id = getattr(tokenizer, "bos_token_id", None) \
-            if bos_token_id is None else bos_token_id
+        if bos_token_id is None:
+            # Infer the bos switch exactly like the reference
+            # (nonctx_emb_utils.py:258-262) — and like tokenize_nonctx_query,
+            # so the train-time blocked encoder and this table agree.
+            bos = getattr(tokenizer, "bos_token_id", None)
+            if bos is not None and bos in tokenizer.encode("", add_special_tokens=True):
+                bos_token_id = bos
         eos_token_id = tokenizer.eos_token_id if eos_token_id is None else eos_token_id
         if prompt and prompt_ids is None:
             prompt_ids = tokenizer(prompt, add_special_tokens=False)["input_ids"]

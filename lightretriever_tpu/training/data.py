@@ -62,10 +62,20 @@ def tokenize_nonctx_query(
     if noncontextual_prompt_prefix:
         prompts = [noncontextual_prompt_prefix + p for p in prompts]
 
+    # Infer the bos switch the same way the reference (and our EmbeddingBag
+    # construction) does: the blocked train sequence must be
+    # [bos][prompt][tok eos]... so the per-token EOS hiddens match the cached
+    # [bos][prompt][tok][eos] table rows at inference
+    # (nonctx_emb_utils.py:110-114 / :258-262).
+    bos = getattr(tokenizer, "bos_token_id", None)
+    add_bos = bos is not None and bos in tokenizer.encode("", add_special_tokens=True)
+
     prompt_ids = [
         tokenizer(p, add_special_tokens=False)["input_ids"] if p else []
         for p in prompts
     ]
+    if add_bos:
+        prompt_ids = [[bos] + p for p in prompt_ids]
     tok_ids = tokenizer(
         queries, max_length=max_len // 2, truncation=True, add_special_tokens=False
     )["input_ids"]

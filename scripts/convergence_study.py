@@ -1,11 +1,15 @@
 """End-to-end convergence study: train the hybrid retriever on a synthetic
 task and verify retrieval quality improves across rep systems.
 
-Round-1 result (8-dev CPU mesh, 150 steps, tiny model): NDCG@5
-  den 1.0 -> 1.0 (at ceiling), spr 0.985 -> 1.0, tok 0.831 -> 1.0,
-  emb 0.263 -> 0.465, emb_tok 0.584 -> 0.651  — all non-ceiling systems
-improve; the asymmetric EmbeddingBag query encoder learns from the
-emb_den_scores distillation path as designed.
+Round-1 result (150 steps, tiny model): emb stalled at 0.465 while everything
+else reached ~1.0. Root cause (fixed in round 2): the blocked train-time
+tokenization omitted the bos token that EmbeddingBag construction prepended
+([bos][prompt][tok][eos]) — training optimized a different query encoder
+than eval used. With the bos contract aligned on both sides
+(tokenize_nonctx_query / construct_embedding_bag, reference
+nonctx_emb_utils.py:110-114/:258-262), round-2 result:
+  den 1.0 -> 1.0, spr 0.985 -> 1.0, tok 0.831 -> 1.0,
+  emb 0.193 -> 1.0, emb_tok 0.512 -> 1.0 — every system converges.
 
 Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python scripts/convergence_study.py

@@ -11,7 +11,10 @@ WORDS = (
 ).split()
 
 
-def make_tiny_tokenizer(lowercase: bool = False) -> PreTrainedTokenizerFast:
+def make_tiny_tokenizer(lowercase: bool = False,
+                        add_bos: bool = False) -> PreTrainedTokenizerFast:
+    """``add_bos=True`` mimics Llama-style tokenizers that prepend bos under
+    add_special_tokens=True (the blocked-query / EmbeddingBag bos contract)."""
     vocab = {"<pad>": 0, "<bos>": 1, "<eos>": 2, "<unk>": 3}
     for w in WORDS:
         if w not in vocab:
@@ -20,6 +23,13 @@ def make_tiny_tokenizer(lowercase: bool = False) -> PreTrainedTokenizerFast:
     tok.pre_tokenizer = pre_tokenizers.Whitespace()
     if lowercase:
         tok.normalizer = normalizers.Lowercase()
+    if add_bos:
+        from tokenizers import processors
+
+        tok.post_processor = processors.TemplateProcessing(
+            single="<bos> $A", pair="<bos> $A $B",
+            special_tokens=[("<bos>", vocab["<bos>"])],
+        )
     return PreTrainedTokenizerFast(
         tokenizer_object=tok,
         pad_token="<pad>", bos_token="<bos>", eos_token="<eos>", unk_token="<unk>",
