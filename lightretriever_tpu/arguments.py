@@ -243,6 +243,11 @@ class TrainingArguments:
     save_total_limit: Optional[int] = None
     save_only_model: bool = False
     log_file: Optional[str] = None
+    # Experiment tracking (parity: HF Trainer report_to + the reference's
+    # wandb/tensorboard log-key rewriter, trainer.py:46-67). 'jsonl' writes
+    # to log_file; 'tensorboard' writes stock-TB event files to logging_dir.
+    report_to: tuple[str, ...] = ("jsonl",)
+    logging_dir: Optional[str] = None
     # Precision
     bf16: bool = True
     # Remat (activation checkpointing; reference: gradient_checkpointing)

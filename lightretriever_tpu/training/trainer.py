@@ -22,7 +22,6 @@ internals it relies on), redesigned for the JAX SPMD model:
 from __future__ import annotations
 
 import functools
-import json
 import logging
 import os
 import time
@@ -137,10 +136,16 @@ class ContrastiveTrainer:
             self.state = self._shard_state(self.state)
         self._step_fn = None
         self._log_accum: dict[str, list[float]] = {}
-        self._log_fh = None
-        if train_args.log_file:
-            os.makedirs(os.path.dirname(train_args.log_file) or ".", exist_ok=True)
-            self._log_fh = open(train_args.log_file, "a")
+        from ..utils.tracking import build_writers
+
+        report_to = tuple(train_args.report_to or ())
+        if train_args.log_file and "jsonl" not in report_to:
+            report_to = report_to + ("jsonl",)
+        self._writers = build_writers(
+            report_to,
+            train_args.logging_dir or os.path.join(train_args.output_dir, "runs"),
+            train_args.log_file,
+        )
 
     # -- sharding ------------------------------------------------------------
     def _shard_state(self, state: TrainState) -> TrainState:
@@ -394,11 +399,8 @@ class ContrastiveTrainer:
                 eval_metrics = self.evaluate()
                 logger.info("eval @%d: %s", step_i + 1,
                             {k: round(v, 4) for k, v in eval_metrics.items()})
-                if self._log_fh is not None:
-                    self._log_fh.write(json.dumps(
-                        {"step": step_i + 1, **{f"eval_{k}": v
-                                                for k, v in eval_metrics.items()}}) + "\n")
-                    self._log_fh.flush()
+                self._emit_logs(step_i + 1,
+                                {f"eval_{k}": v for k, v in eval_metrics.items()})
             if ta.save_steps and (step_i + 1) % ta.save_steps == 0:
                 self.save_checkpoint(
                     os.path.join(ta.output_dir, f"checkpoint-{step_i + 1}"))
@@ -443,10 +445,24 @@ class ContrastiveTrainer:
         avg["step"] = step
         avg["elapsed_s"] = time.perf_counter() - t0
         logger.info("step %d: %s", step, {k: round(v, 5) for k, v in avg.items()})
-        if self._log_fh is not None:
-            self._log_fh.write(json.dumps(avg) + "\n")
-            self._log_fh.flush()
+        self._emit_logs(step, avg)
         return avg
+
+    def _emit_logs(self, step: int, logs: dict[str, float]) -> None:
+        """Fan logs out to every tracking writer with the reference's
+        key grouping (trainer.py:46-67 rewrite_logs)."""
+        from ..utils.tracking import TensorBoardWriter, rewrite_logs
+
+        for w in self._writers:
+            if isinstance(w, TensorBoardWriter):
+                w.add_scalars(step, rewrite_logs(logs))
+            else:
+                w.add_scalars(step, logs)
+
+    def close(self) -> None:
+        for w in self._writers:
+            w.close()
+        self._writers = []
 
     # -- checkpointing (parity: trainer.py:227-287 + modeling save contract) --
     def save_checkpoint(self, path: str):
