@@ -353,6 +353,14 @@ class EvalArguments(InferenceArguments):
     fuse_method: str = "linear"  # linear | rrf
     save_predictions: bool = False
     prediction_dir: Optional[str] = None
+    # Reuse saved retrieval predictions instead of re-searching (parity:
+    # eval/eval_arguments.py:64-78 pred_load_folder / overwrite_results).
+    pred_load_folder: Optional[str] = None
+    overwrite_results: bool = False
+    # Per-task query/corpus prompt injection (parity: evaluate_mteb.py:96-100)
+    add_prompt: bool = False
+    prompt_type: str = "e5"
+    task_type: Optional[str] = None
     output_dir: str = "./eval_results"
 
 

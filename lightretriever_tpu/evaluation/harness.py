@@ -161,33 +161,97 @@ def launch_eval(
     searcher = init_searcher(encoder, eval_args, mesh=mesh)
     out_dir = getattr(eval_args, "output_dir", "./eval_results")
     os.makedirs(out_dir, exist_ok=True)
+    overwrite = getattr(eval_args, "overwrite_results", False)
+    pred_load = getattr(eval_args, "pred_load_folder", None)
     all_metrics: dict[str, Any] = {}
     for task, data_dir in task_dirs.items():
+        out_path = os.path.join(out_dir, f"{task}.json")
+        if os.path.exists(out_path) and not overwrite:
+            # Parity: eval_arguments.py:61-63 overwrite_results — reuse the
+            # existing result file instead of re-running the task.
+            logger.info("Skipping %s (results exist; overwrite_results=False)", task)
+            with open(out_path) as f:
+                all_metrics[task] = json.load(f)["metrics"]
+            continue
         logger.info("Evaluating task %s from %s", task, data_dir)
-        # Per-task query prompt injection (parity: evaluate_mteb.py:96-100)
-        prompt_type = getattr(eval_args, "prompt_type", None)
-        if prompt_type and hasattr(encoder, "query_prompt"):
-            from ..utils.prompts import get_mteb_prompt
-
-            encoder.query_prompt = get_mteb_prompt(prompt_type, task) or None
+        _inject_task_prompts(encoder, eval_args, task)
         corpus, queries, qrels = load_beir_dataset(data_dir, split=split)
-        res = evaluate_task(
-            searcher, corpus, queries, qrels,
-            top_k=getattr(eval_args, "top_k", 1000),
-            k_values=tuple(getattr(eval_args, "k_values", (1, 3, 5, 10, 100, 1000))),
-            ignore_identical_ids=(task.lower() in ("quoraretrieval", "arguana")),
-        )
+        k_values = tuple(getattr(eval_args, "k_values", (1, 3, 5, 10, 100, 1000)))
+        if pred_load:
+            # Parity: eval_arguments.py:76-78 pred_load_folder — score saved
+            # first-stage predictions without re-encoding/searching.
+            results = load_predictions(pred_load, task)
+            res = {"metrics": _score(qrels, results, k_values),
+                   "results": results,
+                   "timing": {"search_s": 0.0, "qps": float("inf")}}
+        else:
+            res = evaluate_task(
+                searcher, corpus, queries, qrels,
+                top_k=getattr(eval_args, "top_k", 1000),
+                k_values=k_values,
+                ignore_identical_ids=(task.lower() in ("quoraretrieval", "arguana")),
+            )
         all_metrics[task] = res["metrics"]
-        with open(os.path.join(out_dir, f"{task}.json"), "w") as f:
+        with open(out_path, "w") as f:
             json.dump({"metrics": res["metrics"], "timing": res["timing"]}, f, indent=2)
         if getattr(eval_args, "save_predictions", False):
             pred_dir = getattr(eval_args, "prediction_dir", None) or out_dir
-            os.makedirs(pred_dir, exist_ok=True)
-            with open(os.path.join(pred_dir, f"{task}_predictions.json"), "w") as f:
-                json.dump(res["results"], f)
+            save_predictions(pred_dir, task, res["results"])
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(all_metrics, f, indent=2)
     return all_metrics
+
+
+def _inject_task_prompts(encoder, eval_args, task: str,
+                         task_type: str = "Retrieval") -> None:
+    """Per-task query/corpus prompt injection (parity: evaluate_mteb.py:96-100)."""
+    if not getattr(eval_args, "add_prompt", False):
+        return
+    if not hasattr(encoder, "query_prompt"):
+        return
+    from ..utils.prompts import get_mteb_prompt_pair
+
+    qp, cp = get_mteb_prompt_pair(
+        task, getattr(eval_args, "task_type", None) or task_type,
+        getattr(eval_args, "prompt_type", "e5"))
+    encoder.query_prompt = qp or None
+    encoder.corpus_prompt = cp or None
+    logger.info("task %s prompts: query=%r corpus=%r", task, qp, cp)
+
+
+def _prediction_path(folder: str, task: str) -> str:
+    return os.path.join(folder, f"{task}_predictions.json")
+
+
+def save_predictions(folder: str, task: str,
+                     results: dict[str, dict[str, float]]) -> str:
+    """Persist first-stage results in the reference's
+    ``{task}_predictions.json`` layout (evaluate_mteb.py save_predictions)."""
+    os.makedirs(folder, exist_ok=True)
+    path = _prediction_path(folder, task)
+    with open(path, "w") as f:
+        json.dump(results, f)
+    return path
+
+
+def load_predictions(folder: str, task: str) -> dict[str, dict[str, float]]:
+    """Load saved predictions; the counterpart of save_predictions (the
+    reference's pred_load_folder path, eval_arguments.py:76-78)."""
+    path = _prediction_path(folder, task)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no saved predictions for task {task!r} at {path}; run once with "
+            "save_predictions=True (prediction_dir={folder}) first")
+    with open(path) as f:
+        results = json.load(f)
+    # results may be nested per-system ({system: {qid: {pid: score}}}) when
+    # saved from a HybridSearch with return_all_results; default to emb_tok
+    # fusion like HybridSearch.retrieve_with_emb does.
+    if results and isinstance(next(iter(results.values())), dict):
+        first = next(iter(results.values()))
+        if first and isinstance(next(iter(first.values())), dict):
+            results = results.get("default") or next(iter(results.values()))
+    return results
 
 
 def mrl_dim_sweep(
@@ -226,7 +290,10 @@ def mrl_dim_sweep(
 
 def call_evaluate_mteb(eval_args, encoder, mesh=None):
     """MTEB driver (parity: evaluate_mteb.py:53-139). Requires the optional
-    ``mteb`` package; the searcher plugs in through its ``search`` method."""
+    ``mteb`` package; the searcher plugs in through its ``search`` method
+    exactly like the reference's bm25s-ModelMeta hack (evaluate_mteb.py:66-69
+    — MTEB only calls a custom ``.search()`` when the model claims a
+    non-dense ModelMeta, so we borrow bm25s's when available)."""
     try:
         import mteb
     except ImportError as e:  # pragma: no cover - optional dep
@@ -234,12 +301,37 @@ def call_evaluate_mteb(eval_args, encoder, mesh=None):
             "mteb is not installed; use launch_eval with BEIR-format data dirs"
         ) from e
     searcher = init_searcher(encoder, eval_args, mesh=mesh)
+    try:  # pragma: no cover - depends on installed mteb version
+        searcher.mteb_model_meta = mteb.models.bm25.bm25_s
+    except AttributeError:
+        pass
+
     tasks = mteb.get_tasks(tasks=list(eval_args.task_names),
                            languages=list(eval_args.task_langs))
-    evaluation = mteb.MTEB(tasks=tasks)
-    return evaluation.run(
-        searcher,
-        output_folder=eval_args.output_dir,
-        corpus_chunk_size=eval_args.corpus_chunk_size,
-        top_k=eval_args.top_k,
-    )
+    pred_load = getattr(eval_args, "pred_load_folder", None)
+    all_results = []
+    # Per-task loop with prompt injection + per-task MTEB run (parity:
+    # evaluate_mteb.py:91-133)
+    for task_cls in tasks:
+        task_name = task_cls.metadata.name
+        task_type = getattr(task_cls.metadata, "type", "Retrieval")
+        _inject_task_prompts(encoder, eval_args, task_name, task_type)
+        sub_eval = mteb.MTEB(tasks=[task_cls])
+        kwargs = {
+            "output_folder": eval_args.output_dir,
+            "overwrite_results": getattr(eval_args, "overwrite_results", False),
+            "corpus_chunk_size": eval_args.corpus_chunk_size,
+            "k_values": list(eval_args.k_values),
+            "top_k": eval_args.top_k,
+            "save_predictions": getattr(eval_args, "save_predictions", False),
+        }
+        if pred_load:
+            for subset in getattr(task_cls, "hf_subsets", ["default"]):
+                all_results += sub_eval.run(
+                    searcher, **kwargs, eval_subsets=[subset],
+                    previous_results=os.path.join(
+                        pred_load, f"{task_name}_{subset}_predictions.json"),
+                )
+        else:
+            all_results += sub_eval.run(searcher, **kwargs)
+    return all_results
