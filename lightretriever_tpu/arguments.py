@@ -67,6 +67,11 @@ class BaseDataArguments:
     # Homogenous batching: every global batch drawn from a single domain
     # (reference: utils/homogenous_iterable_dataset.py)
     homogenous_batch: bool = False
+    # Streaming domain readers: O(shuffle_buffer) memory per domain instead
+    # of loading every row (the reference's HF iterable-dataset mixtures,
+    # utils/data_utils.py:500-597); required for web-scale mixtures.
+    streaming: bool = False
+    shuffle_buffer_size: int = 4096
     # Prompt / instruction handling
     prompt_type: str = "e5"  # e5 | instructor | bge | none
     append_prompt_sep: bool = False

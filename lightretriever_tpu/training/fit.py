@@ -95,20 +95,42 @@ def main(
         if data_args.domain_config_path else None
     assert domain_config is not None and train_data_dir, \
         "training needs domain_config_path + train_data_dir"
-    domains = load_domain_datasets(domain_config, train_data_dir)
-    # Stamp instructions from the prompt registry where examples lack one
-    for name, rows in domains.items():
-        inst = get_prompt(data_args.prompt_type, name)
-        for r in rows:
-            r.setdefault("instruction", inst)
-
     batch_size = train_args.per_device_train_batch_size * max(jax.device_count(), 1)
-    example_iter = interleave_domains(
-        domains,
-        weights=domain_config.normalized_weights(),
-        seed=train_args.seed,
-        homogenous_batch_size=batch_size if data_args.homogenous_batch else None,
-    )
+    hom = batch_size if data_args.homogenous_batch else None
+    if data_args.streaming:
+        # O(shuffle_buffer) memory per domain: web-scale mixtures
+        # (reference: HF iterable datasets, utils/data_utils.py:500-597)
+        from .streaming import interleave_streams, load_domain_streams
+
+        streams = load_domain_streams(
+            domain_config, train_data_dir,
+            seed=train_args.seed,
+            buffer_size=data_args.shuffle_buffer_size,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
+            instructions={name: get_prompt(data_args.prompt_type, name)
+                          for name in domain_config.domain_ids},
+        )
+        example_iter = interleave_streams(
+            streams,
+            weights=domain_config.normalized_weights(),
+            seed=train_args.seed,
+            homogenous_batch_size=hom,
+        )
+    else:
+        domains = load_domain_datasets(domain_config, train_data_dir)
+        # Stamp instructions from the prompt registry where examples lack one
+        for name, rows in domains.items():
+            inst = get_prompt(data_args.prompt_type, name)
+            for r in rows:
+                r.setdefault("instruction", inst)
+        example_iter = interleave_domains(
+            domains,
+            weights=domain_config.normalized_weights(),
+            seed=train_args.seed,
+            homogenous_batch_size=hom,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
+        )
     collator = IterableTrainCollator(
         tokenizer=tokenizer,
         q_max_len=data_args.q_max_len,
