@@ -37,8 +37,11 @@ def initialize_multihost(
     reference's MASTER_ADDR/WORLD_SIZE/RANK contract
     (inference/arguments.py:85-99).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    from jax._src import distributed as _jax_distributed
+
+    if _jax_distributed.global_state.client is not None:
+        return  # already initialized (checking via jax.process_count() would
+        # itself initialize the XLA backend and poison jax.distributed)
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     num_processes = num_processes or _int_env("NUM_PROCESSES", "WORLD_SIZE")
     process_id = process_id if process_id is not None else _int_env("PROCESS_ID", "RANK")
