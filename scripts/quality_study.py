@@ -1,0 +1,237 @@
+"""Retrieval-quality study on real natural-language data (one TPU chip).
+
+The north-star metric (BASELINE.md / VERDICT r1 #1) is BEIR nDCG@10 /
+recall@100 for all four retrieval systems + hybrid fusion. This image has no
+network and no pretrained checkpoints, so the study uses the in-image
+real-text benchmark (scripts/build_docstring_beir.py: ~70k natural-English
+docstring passages, summary->body retrieval with BM25 hard negatives) and a
+from-scratch transformer trained on the TPU through the full production
+path: streaming data pipeline -> IterableTrainCollator -> ContrastiveTrainer
+(bf16, distillation) -> SpmdEncoder + cached EmbeddingBag -> HybridSearch
+over the full corpus -> evaluation/metrics. Systems evaluated (parity with
+the reference's four + fusions, modeling_hybrid.py:91-141):
+
+  bm25      DummyModel baseline (Lucene-style analysis, TPU impact GEMM)
+  den       symmetric dense   (full encoder both sides)
+  spr       symmetric sparse  (SPLADE-style max-linear-map both sides)
+  emb       asymmetric dense  (doc tower full; query = EmbeddingBag lookup)
+  tok       asymmetric sparse (doc tower full; query = token counts)
+  den_spr / emb_tok   linear score fusion
+
+Usage:
+  python scripts/build_docstring_beir.py --out /tmp/docstring_beir
+  python scripts/quality_study.py --data /tmp/docstring_beir \
+      [--steps 2000] [--out /tmp/quality_out]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if "--cpu" in sys.argv:  # sitecustomize pins the TPU tunnel; flip explicitly
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_bpe_tokenizer(texts, vocab_size: int, out_dir: str | None = None):
+    """Train a real BPE tokenizer on the corpus (HF tokenizers, in-image)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size,
+        special_tokens=["<pad>", "<bos>", "<eos>", "<unk>"])
+    tok.train_from_iterator(texts, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<pad>", bos_token="<bos>",
+        eos_token="<eos>", unk_token="<unk>")
+    if out_dir:
+        fast.save_pretrained(out_dir)
+    return fast
+
+
+def load_jsonl(path):
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--out", default="/tmp/quality_out")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--vocab", type=int, default=16384)
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--hidden", type=int, default=384)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n-passages", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--temperature", type=float, default=0.05,
+                    help="from-scratch training wants a softer temperature "
+                         "than the reference's finetune 0.02")
+    ap.add_argument("--q-max", type=int, default=64)
+    ap.add_argument("--p-max", type=int, default=192)
+    ap.add_argument("--top-k", type=int, default=100)
+    ap.add_argument("--encode-batch", type=int, default=256)
+    ap.add_argument("--max-corpus", type=int, default=0, help="debug cap")
+    ap.add_argument("--max-queries", type=int, default=0, help="debug cap")
+    ap.add_argument("--skip-bm25", action="store_true")
+    ap.add_argument("--logging-steps", type=int, default=100)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from lightretriever_tpu.arguments import (
+        InferenceArguments,
+        ModelArguments,
+        TrainingArguments,
+    )
+    from lightretriever_tpu.evaluation.harness import evaluate_task, load_beir_dataset
+    from lightretriever_tpu.inference.encode import DummyModel, SpmdEncoder
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.hybrid import HybridModel
+    from lightretriever_tpu.retriever.search import HybridSearch, SparseSearch
+    from lightretriever_tpu.training.data import train_dataloader
+    from lightretriever_tpu.training.streaming import StreamingDomain, interleave_streams
+    from lightretriever_tpu.training.data import IterableTrainCollator
+    from lightretriever_tpu.training.trainer import ContrastiveTrainer
+
+    corpus, queries, qrels = load_beir_dataset(args.data)
+    if args.max_corpus:
+        keep = set(list(corpus)[: args.max_corpus]) | {
+            pid for rels in qrels.values() for pid in rels}
+        corpus = {k: v for k, v in corpus.items() if k in keep}
+    if args.max_queries:
+        queries = dict(list(queries.items())[: args.max_queries])
+        qrels = {q: qrels[q] for q in queries}
+    print(f"eval corpus={len(corpus)} queries={len(queries)}", flush=True)
+
+    # --- tokenizer over the real corpus -------------------------------------
+    t0 = time.perf_counter()
+    tok_dir = os.path.join(args.out, "tokenizer")
+    if os.path.exists(os.path.join(tok_dir, "tokenizer.json")):
+        from transformers import PreTrainedTokenizerFast
+
+        tok = PreTrainedTokenizerFast.from_pretrained(tok_dir)
+    else:
+        tok = build_bpe_tokenizer(
+            (d["title"] + " " + d["text"] for d in corpus.values()),
+            args.vocab, tok_dir)
+    vocab_size = len(tok)
+    print(f"tokenizer: {vocab_size} tokens in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    # --- model ----------------------------------------------------------------
+    cfg = DecoderConfig(
+        vocab_size=vocab_size, hidden_size=args.hidden,
+        intermediate_size=args.hidden * 3, num_hidden_layers=args.layers,
+        num_attention_heads=max(args.hidden // 64, 2),
+        num_key_value_heads=max(args.hidden // 128, 1),
+        max_position_embeddings=max(args.p_max, args.q_max),
+        rms_norm_eps=1e-6, rope_theta=1e4, tie_word_embeddings=True)
+    on_tpu = jax.default_backend() == "tpu"
+    ma = ModelArguments(
+        pooling_strategy="lasttoken",
+        attn_implementation="pallas" if on_tpu else "xla",
+        hybrid_use_dense_vector=True, hybrid_use_sparse_vector=True,
+        hybrid_use_emb_vector=True, hybrid_use_token_id_vector=True,
+        noncontextual_query_embedding=True,
+        sparse_use_relu=True, sparse_use_log_saturation=True)
+    ta = TrainingArguments(
+        output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
+        warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
+        save_steps=0, temperature=args.temperature, bf16=on_tpu,
+        emb_den_scores_distillation=True,
+        report_to=("jsonl",), log_file=os.path.join(args.out, "train_log.jsonl"))
+    model = HybridModel(ma, ta, cfg, eos_token_id=tok.eos_token_id,
+                        pad_token_id=tok.pad_token_id)
+    params = model.init_params(jax.random.key(0),
+                               jnp.bfloat16 if on_tpu else jnp.float32)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"model: {n_params/1e6:.1f}M params, backend={jax.default_backend()}",
+          flush=True)
+
+    # --- streaming train pipeline over the real training rows ------------------
+    train_path = os.path.join(args.data, "train", "docstrings.jsonl")
+    stream = StreamingDomain(train_path, name="docstrings", seed=0,
+                             buffer_size=8192)
+    col = IterableTrainCollator(
+        tokenizer=tok, q_max_len=args.q_max, p_max_len=args.p_max,
+        length_buckets=(32, args.q_max, 128, args.p_max),
+        train_n_passages=args.n_passages, seed=0,
+        emb_size=vocab_size, noncontextual_query_embedding=True)
+    it = train_dataloader(
+        interleave_streams({"docstrings": stream}, seed=0), col, args.batch)
+
+    trainer = ContrastiveTrainer(model, params, ta, train_iter=it)
+    t0 = time.perf_counter()
+    logs = trainer.train()
+    trainer.close()
+    train_s = time.perf_counter() - t0
+    print(f"train: {args.steps} steps in {train_s:.0f}s "
+          f"({train_s/max(args.steps,1)*1000:.0f} ms/step), "
+          f"final loss {logs.get('loss', float('nan')):.4f}", flush=True)
+    params_t = jax.device_get(trainer.state.params)
+    model.save(params_t, os.path.join(args.out, "model"))
+
+    # --- evaluate all systems ----------------------------------------------------
+    enc = SpmdEncoder(model, params_t, tok, args=InferenceArguments(
+        encode_batch_size=args.encode_batch,
+        emb_bag_construct_batch_size=1024,
+        pooling_strategy="lasttoken",
+        attn_implementation=ma.attn_implementation))
+    t0 = time.perf_counter()
+    enc.cache_emb_bag()
+    print(f"emb_bag: built [{vocab_size}, d] in {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    hs = HybridSearch(enc, vocab_size=vocab_size, return_all_results=True,
+                      batch_size=args.encode_batch)
+    t0 = time.perf_counter()
+    out = evaluate_task(hs, corpus, queries, qrels, top_k=args.top_k,
+                        k_values=(1, 3, 5, 10, 100))
+    print(f"hybrid search+eval in {time.perf_counter()-t0:.0f}s", flush=True)
+    metrics = {name: m for name, m in out["metrics"].items()}
+
+    if not args.skip_bm25:
+        t0 = time.perf_counter()
+        bm25 = SparseSearch(model=DummyModel(), bm25=True)
+        out_bm = evaluate_task(bm25, corpus, queries, qrels, top_k=args.top_k,
+                               k_values=(1, 3, 5, 10, 100))
+        metrics["bm25"] = out_bm["metrics"]
+        print(f"bm25 in {time.perf_counter()-t0:.0f}s", flush=True)
+
+    # --- report -----------------------------------------------------------------
+    order = ["bm25", "den", "spr", "emb", "tok", "den_spr", "emb_tok"]
+    print("\n| System | NDCG@10 | Recall@100 | NDCG@1 | MRR@10 |")
+    print("|---|---|---|---|---|")
+    table = {}
+    for name in order:
+        if name not in metrics:
+            continue
+        m = metrics[name]
+        table[name] = {k: round(m[k], 4) for k in
+                       ("NDCG@10", "Recall@100", "NDCG@1", "MRR@10") if k in m}
+        print(f"| {name} | {m.get('NDCG@10', 0):.4f} | {m.get('Recall@100', 0):.4f} "
+              f"| {m.get('NDCG@1', 0):.4f} | {m.get('MRR@10', 0):.4f} |")
+    summary = {
+        "corpus": len(corpus), "queries": len(queries), "steps": args.steps,
+        "params_m": round(n_params / 1e6, 1), "backend": jax.default_backend(),
+        "train_s": round(train_s, 1), "metrics": table,
+    }
+    with open(os.path.join(args.out, "quality_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
