@@ -253,6 +253,11 @@ class TrainingArguments:
     # to log_file; 'tensorboard' writes stock-TB event files to logging_dir.
     report_to: tuple[str, ...] = ("jsonl",)
     logging_dir: Optional[str] = None
+    # Keep per-step logs as device scalars and materialize them only at
+    # logging_steps. Through the axon tunnel a per-step device_get costs
+    # ~30ms+ of host round trip — comparable to the whole step for small
+    # models. training_step then returns jax scalars instead of floats.
+    async_logging: bool = False
     # Precision
     bf16: bool = True
     # Remat (activation checkpointing; reference: gradient_checkpointing)

@@ -135,6 +135,7 @@ class ContrastiveTrainer:
         if self.mesh is not None:
             self.state = self._shard_state(self.state)
         self._step_fn = None
+        self._host_step = 0  # mirrors state.step without per-step device syncs
         self._log_accum: dict[str, list[float]] = {}
         from ..utils.tracking import build_writers
 
@@ -291,7 +292,7 @@ class ContrastiveTrainer:
         if self._step_fn is None:
             self._step_fn = self._build_step()
         ta = self.train_args
-        step_i = int(jax.device_get(self.state.step))
+        step_i = self._host_step
         reg = get_reg_weight_scaling_factor(
             step_i, ta.reg_t, ta.reg_max,
             min_reg_ratio=ta.min_reg_ratio, reg_type=ta.reg_type,
@@ -300,7 +301,11 @@ class ContrastiveTrainer:
         batch, domain_names, q_prompt_len = self._prep_batch(batch)
         self.state, logs = self._step_fn(
             self.state, batch, jnp.float32(reg), q_prompt_len)
-        logs = {k: float(jax.device_get(v)) for k, v in logs.items()}
+        self._host_step += 1
+        if not ta.async_logging:
+            # One host sync per step: fine for big steps, dominant for small
+            # ones through the tunnel — flip async_logging to defer it.
+            logs = {k: float(jax.device_get(v)) for k, v in logs.items()}
         logs["reg_scaling_factor"] = float(reg)
         logs["lr"] = float(self.schedule(step_i))
         # Per-domain channel loss under homogenous batching (trainer.py:46-67
@@ -314,7 +319,7 @@ class ContrastiveTrainer:
             self._accum_fns = self._build_accum_fns()
         grad_fn, add_fn, apply_fn = self._accum_fns
         ta = self.train_args
-        step_i = int(jax.device_get(self.state.step))
+        step_i = self._host_step
         reg = get_reg_weight_scaling_factor(
             step_i, ta.reg_t, ta.reg_max,
             min_reg_ratio=ta.min_reg_ratio, reg_type=ta.reg_type,
@@ -328,6 +333,7 @@ class ContrastiveTrainer:
             acc = grads if acc is None else add_fn(acc, grads)
             all_logs.append(logs)
         self.state, gnorm = apply_fn(self.state, acc, len(batches))
+        self._host_step += 1
         out = {k: float(np.mean([float(jax.device_get(lg[k])) for lg in all_logs]))
                for k in all_logs[0]}
         out["grad_norm"] = float(jax.device_get(gnorm))
@@ -371,6 +377,7 @@ class ContrastiveTrainer:
         last_logs: dict[str, float] = {}
         t0 = time.perf_counter()
         start = int(jax.device_get(self.state.step))
+        self._host_step = start
         n_accum = max(ta.gradient_accumulation_steps, 1)
         if start > 0:
             # Fast-forward the (seeded, deterministic) data stream so a
@@ -440,7 +447,11 @@ class ContrastiveTrainer:
             self._log_accum.setdefault(k, []).append(v)
 
     def _flush_logs(self, step: int, t0: float) -> dict[str, float]:
-        avg = {k: float(np.mean(v)) for k, v in self._log_accum.items()}
+        # Single host sync for everything accumulated since the last flush
+        # (values are device scalars under async_logging).
+        accum = jax.device_get(self._log_accum)
+        avg = {k: float(np.mean(np.asarray(v, np.float64)))
+               for k, v in accum.items()}
         self._log_accum.clear()
         avg["step"] = step
         avg["elapsed_s"] = time.perf_counter() - t0
@@ -528,6 +539,7 @@ class ContrastiveTrainer:
         restored = ckptr.restore(os.path.join(path, "state"), target)
         self.state = TrainState(restored["params"], restored["opt_state"],
                                 jnp.asarray(restored["step"]))
+        self._host_step = int(jax.device_get(self.state.step))
 
 
 def _restore_statics(batch: dict, q_prompt_len: int) -> dict:

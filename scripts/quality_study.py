@@ -140,9 +140,11 @@ def main():
         max_position_embeddings=max(args.p_max, args.q_max),
         rms_norm_eps=1e-6, rope_theta=1e4, tie_word_embeddings=True)
     on_tpu = jax.default_backend() == "tpu"
+    # XLA attention: at S<=192 with a small model the Pallas kernel gains
+    # nothing but costs ~130s extra compile (measured; PERFORMANCE.md).
     ma = ModelArguments(
         pooling_strategy="lasttoken",
-        attn_implementation="pallas" if on_tpu else "xla",
+        attn_implementation="xla",
         hybrid_use_dense_vector=True, hybrid_use_sparse_vector=True,
         hybrid_use_emb_vector=True, hybrid_use_token_id_vector=True,
         noncontextual_query_embedding=True,
@@ -151,7 +153,7 @@ def main():
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
         save_steps=0, temperature=args.temperature, bf16=on_tpu,
-        emb_den_scores_distillation=True,
+        emb_den_scores_distillation=True, async_logging=True,
         report_to=("jsonl",), log_file=os.path.join(args.out, "train_log.jsonl"))
     model = HybridModel(ma, ta, cfg, eos_token_id=tok.eos_token_id,
                         pad_token_id=tok.pad_token_id)
@@ -167,7 +169,7 @@ def main():
                              buffer_size=8192)
     col = IterableTrainCollator(
         tokenizer=tok, q_max_len=args.q_max, p_max_len=args.p_max,
-        length_buckets=(32, args.q_max, 128, args.p_max),
+        pad_to_max_length=True,  # one static shape -> exactly one compile
         train_n_passages=args.n_passages, seed=0,
         emb_size=vocab_size, noncontextual_query_embedding=True)
     it = train_dataloader(
