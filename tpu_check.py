@@ -181,12 +181,12 @@ def check_max_linear_map() -> None:
     mask[0, 100:] = 0
     mask_j = jnp.asarray(mask)
 
-    got = max_linear_mapping(hdn, w, bias, mask_j, interpret=interpret())
+    got = max_linear_mapping(hdn, w, bias, mask_j, interpret=interpret(), impl="pallas")
     want = max_linear_map_reference(hdn, w, bias, mask_j)
     check("mlm_fwd", got, want, atol=1e-4, rtol=1e-4)
 
     def loss(hdn, w, bias):
-        o = max_linear_mapping(hdn, w, bias, mask_j, interpret=interpret())
+        o = max_linear_mapping(hdn, w, bias, mask_j, interpret=interpret(), impl="pallas")
         return jnp.sum(jax.nn.relu(o) ** 2)
 
     def loss_ref(hdn, w, bias):
