@@ -152,7 +152,8 @@ def main():
     ta = TrainingArguments(
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
-        save_steps=0, temperature=args.temperature, bf16=on_tpu,
+        save_steps=max(args.steps // 4, 500), save_total_limit=2,
+        temperature=args.temperature, bf16=on_tpu,
         emb_den_scores_distillation=True, async_logging=True,
         report_to=("jsonl",), log_file=os.path.join(args.out, "train_log.jsonl"))
     model = HybridModel(ma, ta, cfg, eos_token_id=tok.eos_token_id,
@@ -176,8 +177,13 @@ def main():
         interleave_streams({"docstrings": stream}, seed=0), col, args.batch)
 
     trainer = ContrastiveTrainer(model, params, ta, train_iter=it)
+    from lightretriever_tpu.training.trainer import find_last_checkpoint
+
+    last = find_last_checkpoint(args.out)  # resume across tunnel flakes
+    if last:
+        print(f"resuming from {last}", flush=True)
     t0 = time.perf_counter()
-    logs = trainer.train()
+    logs = trainer.train(resume_from=last)
     trainer.close()
     train_s = time.perf_counter() - t0
     print(f"train: {args.steps} steps in {train_s:.0f}s "

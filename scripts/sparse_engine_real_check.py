@@ -1,0 +1,114 @@
+"""Validate InvertedImpactIndex recall on REAL trained sparse outputs.
+
+VERDICT r1 weak #7: the inverted engine's 0.997 recall was measured on
+synthetic impacts; real SPLADE-style weight distributions are heavier-tailed
+and the postings cap (postings_cap/term) could hurt. This script loads the
+quality-study model (scripts/quality_study.py --out dir), encodes real
+corpus/query sparse reps through the production SpmdEncoder path, and
+compares the inverted engine against the exact exhaustive engine on
+recall@k and QPS — the evidence behind SparseSearch's engine defaults.
+
+Usage:
+  python scripts/sparse_engine_real_check.py --model /tmp/q_tpu_full \
+      --data /tmp/docstring_beir [--docs 20000] [--queries 512]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True, help="quality_study --out dir")
+    ap.add_argument("--data", required=True, help="BEIR data dir")
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--k", type=int, default=100)
+    args = ap.parse_args()
+
+    from transformers import PreTrainedTokenizerFast
+
+    from lightretriever_tpu.arguments import InferenceArguments
+    from lightretriever_tpu.evaluation.harness import load_beir_dataset
+    from lightretriever_tpu.inference.encode import SpmdEncoder
+    from lightretriever_tpu.models.hybrid import HybridModel
+    from lightretriever_tpu.retriever.sparse_scorer import (
+        InvertedImpactIndex,
+        SparseImpactIndex,
+    )
+
+    tok = PreTrainedTokenizerFast.from_pretrained(
+        os.path.join(args.model, "tokenizer"))
+    model, params = HybridModel.load(os.path.join(args.model, "model"))
+    vocab = model.config_qry.vocab_size
+
+    corpus, queries, _ = load_beir_dataset(args.data)
+    docs = [v for v in list(corpus.values())[: args.docs]]
+    qs = list(queries.values())[: args.queries]
+
+    enc = SpmdEncoder(model, params, tok, args=InferenceArguments(
+        encode_batch_size=256, pooling_strategy="lasttoken",
+        attn_implementation="xla"))
+    t0 = time.perf_counter()
+    d_emb = enc.encode_corpus(docs, batch_size=256)
+    q_emb = enc.encode_queries(qs, batch_size=256)
+    d_spr = np.asarray(d_emb["sparse_reps"], np.float32)
+    q_spr = np.asarray(q_emb["sparse_reps"], np.float32)
+    print(f"encoded {len(docs)} docs / {len(qs)} queries "
+          f"in {time.perf_counter()-t0:.0f}s; "
+          f"doc L0={float((d_spr > 0).sum(1).mean()):.1f} "
+          f"query L0={float((q_spr > 0).sum(1).mean()):.1f}", flush=True)
+
+    def to_vecs(mat):
+        out = []
+        for row in mat:
+            nz = np.nonzero(row > 0)[0]
+            out.append({int(t): float(row[t]) for t in nz})
+        return out
+
+    d_vecs, q_vecs = to_vecs(d_spr), to_vecs(q_spr)
+
+    exact = SparseImpactIndex(vocab_size=vocab)
+    exact.add(d_vecs, quantize=True)
+    exact.search(q_vecs[:8], args.k)
+    t0 = time.perf_counter()
+    _, i_ex = exact.search(q_vecs, args.k)
+    t_ex = time.perf_counter() - t0
+    i_ex = np.asarray(i_ex)
+
+    results = {"exhaustive": {"qps": len(qs) / t_ex, "recall": 1.0}}
+    for cap in (256, 1024, 4096):
+        inv = InvertedImpactIndex(vocab_size=vocab, postings_cap=cap)
+        inv.add(d_vecs, quantize=True)
+        inv.search(q_vecs[:8], args.k)
+        t0 = time.perf_counter()
+        _, i_in = inv.search(q_vecs, args.k)
+        t_in = time.perf_counter() - t0
+        i_in = np.asarray(i_in)
+        rec = float(np.mean([
+            len(np.intersect1d(a[a >= 0], b[b >= 0])) / max((b >= 0).sum(), 1)
+            for a, b in zip(i_in, i_ex)]))
+        results[f"inverted cap={cap}"] = {
+            "qps": len(qs) / t_in, "recall": round(rec, 4)}
+        print(f"cap={cap}: recall@{args.k}={rec:.4f} "
+              f"qps={len(qs)/t_in:.0f} (exact {len(qs)/t_ex:.0f})", flush=True)
+
+    print(json.dumps({"docs": len(docs), "queries": len(qs), "k": args.k,
+                      "engines": results}))
+
+
+if __name__ == "__main__":
+    main()
