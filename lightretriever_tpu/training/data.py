@@ -488,29 +488,68 @@ def train_dataloader(
     batch_size: int,
     max_steps: Optional[int] = None,
     prefetch: int = 2,
+    workers: int = 1,
 ) -> Iterator[dict]:
     """Group examples into collated batches (drop_last always, the
     reference's all-gather-hang guard, trainer.py:94-144). With
-    ``prefetch > 0`` collation runs in a background thread so host
-    tokenization overlaps the device step (the single-process stand-in for
-    the reference's DataLoader worker processes)."""
+    ``prefetch > 0`` collation runs in background threads so host
+    tokenization overlaps the device step (the stand-in for the reference's
+    DataLoader worker processes). ``workers > 1`` collates several batches
+    concurrently in a thread pool — HF tokenizers release the GIL, so this
+    scales until numpy work dominates; batch ORDER is preserved (futures
+    are consumed FIFO), so runs stay deterministic."""
 
-    def _batches() -> Iterator[dict]:
+    def _groups() -> Iterator[list[dict]]:
         buf: list[dict] = []
         steps = 0
         for ex in example_iter:
             buf.append(ex)
             if len(buf) == batch_size:
-                yield collator(buf)
+                yield buf
                 buf = []
                 steps += 1
                 if max_steps and steps >= max_steps:
                     return
 
+    if workers > 1:
+        yield from _pool_collate(_groups(), collator, workers,
+                                 max(prefetch, workers))
+        return
+
+    def _batches() -> Iterator[dict]:
+        for group in _groups():
+            yield collator(group)
+
     if prefetch <= 0:
         yield from _batches()
         return
     yield from _prefetch_iter(_batches(), prefetch)
+
+
+def _pool_collate(groups: Iterator[list[dict]], collator, workers: int,
+                  depth: int) -> Iterator[dict]:
+    """Sampling (shared seeded RNG) stays serial in the producer;
+    tokenization/padding fans out to the pool. Requires a thread-safe
+    tokenizer (HF fast tokenizers are)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    sampled = hasattr(collator, "get_item")
+
+    def submit(pool, group):
+        if sampled:
+            items = [collator.get_item(g) for g in group]  # serial: rng order
+            return pool.submit(TrainCollator.__call__, collator, items)
+        return pool.submit(collator, group)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending: deque = deque()
+        for group in groups:
+            pending.append(submit(pool, group))
+            if len(pending) >= depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
 
 
 def _prefetch_iter(it: Iterator[dict], size: int) -> Iterator[dict]:

@@ -88,6 +88,14 @@ def main():
     ap.add_argument("--max-queries", type=int, default=0, help="debug cap")
     ap.add_argument("--skip-bm25", action="store_true")
     ap.add_argument("--logging-steps", type=int, default=100)
+    ap.add_argument("--systems", default="all", choices=("dense", "all"),
+                    help="'dense' trains the dense CL objective only (stage-1 "
+                         "warm start); 'all' trains all four rep systems")
+    ap.add_argument("--init-from", default=None,
+                    help="load initial trunk params from a previous study's "
+                         "--out dir (saved model/); projectors fresh-init")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="evaluate --init-from weights without training")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -140,14 +148,17 @@ def main():
         max_position_embeddings=max(args.p_max, args.q_max),
         rms_norm_eps=1e-6, rope_theta=1e4, tie_word_embeddings=True)
     on_tpu = jax.default_backend() == "tpu"
+    all_sys = args.systems == "all"
     # XLA attention: at S<=192 with a small model the Pallas kernel gains
     # nothing but costs ~130s extra compile (measured; PERFORMANCE.md).
     ma = ModelArguments(
         pooling_strategy="lasttoken",
         attn_implementation="xla",
-        hybrid_use_dense_vector=True, hybrid_use_sparse_vector=True,
-        hybrid_use_emb_vector=True, hybrid_use_token_id_vector=True,
-        noncontextual_query_embedding=True,
+        hybrid_use_dense_vector=True,
+        hybrid_use_sparse_vector=all_sys,
+        hybrid_use_emb_vector=all_sys,
+        hybrid_use_token_id_vector=all_sys,
+        noncontextual_query_embedding=all_sys,
         sparse_use_relu=True, sparse_use_log_saturation=True)
     ta = TrainingArguments(
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
@@ -158,8 +169,17 @@ def main():
         report_to=("jsonl",), log_file=os.path.join(args.out, "train_log.jsonl"))
     model = HybridModel(ma, ta, cfg, eos_token_id=tok.eos_token_id,
                         pad_token_id=tok.pad_token_id)
-    params = model.init_params(jax.random.key(0),
-                               jnp.bfloat16 if on_tpu else jnp.float32)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    params = model.init_params(jax.random.key(0), dtype)
+    if args.init_from:
+        # Stage-2 warm start: trunk from the stage-1 run; any params the
+        # saved model lacks (e.g. sparse projectors) keep their fresh init.
+        _, loaded = HybridModel.load(
+            os.path.join(args.init_from, "model"), dtype=dtype,
+            eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id)
+        for k, v in loaded.items():
+            params[k] = v
+        print(f"warm-started trunk from {args.init_from}", flush=True)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     print(f"model: {n_params/1e6:.1f}M params, backend={jax.default_backend()}",
           flush=True)
@@ -172,25 +192,31 @@ def main():
         tokenizer=tok, q_max_len=args.q_max, p_max_len=args.p_max,
         pad_to_max_length=True,  # one static shape -> exactly one compile
         train_n_passages=args.n_passages, seed=0,
-        emb_size=vocab_size, noncontextual_query_embedding=True)
+        emb_size=vocab_size if all_sys else None,
+        noncontextual_query_embedding=all_sys)
     it = train_dataloader(
-        interleave_streams({"docstrings": stream}, seed=0), col, args.batch)
+        interleave_streams({"docstrings": stream}, seed=0), col, args.batch,
+        workers=4)  # collation is the bottleneck for small models
 
-    trainer = ContrastiveTrainer(model, params, ta, train_iter=it)
-    from lightretriever_tpu.training.trainer import find_last_checkpoint
+    if args.skip_train:
+        params_t = jax.device_get(params)
+        train_s = 0.0
+    else:
+        trainer = ContrastiveTrainer(model, params, ta, train_iter=it)
+        from lightretriever_tpu.training.trainer import find_last_checkpoint
 
-    last = find_last_checkpoint(args.out)  # resume across tunnel flakes
-    if last:
-        print(f"resuming from {last}", flush=True)
-    t0 = time.perf_counter()
-    logs = trainer.train(resume_from=last)
-    trainer.close()
-    train_s = time.perf_counter() - t0
-    print(f"train: {args.steps} steps in {train_s:.0f}s "
-          f"({train_s/max(args.steps,1)*1000:.0f} ms/step), "
-          f"final loss {logs.get('loss', float('nan')):.4f}", flush=True)
-    params_t = jax.device_get(trainer.state.params)
-    model.save(params_t, os.path.join(args.out, "model"))
+        last = find_last_checkpoint(args.out)  # resume across tunnel flakes
+        if last:
+            print(f"resuming from {last}", flush=True)
+        t0 = time.perf_counter()
+        logs = trainer.train(resume_from=last)
+        trainer.close()
+        train_s = time.perf_counter() - t0
+        print(f"train: {args.steps} steps in {train_s:.0f}s "
+              f"({train_s/max(args.steps,1)*1000:.0f} ms/step), "
+              f"final loss {logs.get('loss', float('nan')):.4f}", flush=True)
+        params_t = jax.device_get(trainer.state.params)
+        model.save(params_t, os.path.join(args.out, "model"))
 
     # --- evaluate all systems ----------------------------------------------------
     enc = SpmdEncoder(model, params_t, tok, args=InferenceArguments(
@@ -198,10 +224,11 @@ def main():
         emb_bag_construct_batch_size=1024,
         pooling_strategy="lasttoken",
         attn_implementation=ma.attn_implementation))
-    t0 = time.perf_counter()
-    enc.cache_emb_bag()
-    print(f"emb_bag: built [{vocab_size}, d] in {time.perf_counter()-t0:.0f}s",
-          flush=True)
+    if all_sys:
+        t0 = time.perf_counter()
+        enc.cache_emb_bag()
+        print(f"emb_bag: built [{vocab_size}, d] in "
+              f"{time.perf_counter()-t0:.0f}s", flush=True)
     hs = HybridSearch(enc, vocab_size=vocab_size, return_all_results=True,
                       batch_size=args.encode_batch)
     t0 = time.perf_counter()

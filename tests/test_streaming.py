@@ -174,3 +174,43 @@ def test_fit_end_to_end_streaming(tmp_path):
                     train_data_dir=str(data_dir), model_cls="encoder",
                     resume=False)
     assert np.isfinite(logs["loss"])
+
+
+def test_pooled_collation_deterministic(tmp_path):
+    """workers>1 must produce byte-identical batches in identical order
+    (sampling stays serial; only tokenization fans out)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tokenizer_fixture import make_tiny_tokenizer
+
+    from lightretriever_tpu.training.data import (
+        IterableTrainCollator,
+        train_dataloader,
+    )
+
+    path = tmp_path / "d.jsonl"
+    with open(path, "w") as f:
+        for i in range(200):
+            f.write(json.dumps({
+                "query": f"question about topic {i % 7}",
+                "positive_passages": [{"text": f"document number {i}"}],
+                "negative_passages": [{"text": f"document number {i+1}"},
+                                      {"text": f"document number {i+2}"}],
+            }) + "\n")
+
+    def batches(workers):
+        tok = make_tiny_tokenizer()
+        col = IterableTrainCollator(tokenizer=tok, q_max_len=16, p_max_len=16,
+                                    train_n_passages=2, seed=3)
+        s = StreamingDomain(str(path), seed=0, buffer_size=16)
+        return list(islice(train_dataloader(
+            iter(s), col, 8, workers=workers), 12))
+
+    a, b = batches(1), batches(4)
+    assert len(a) == len(b) == 12
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["query"]["input_ids"],
+                                      bb["query"]["input_ids"])
+        np.testing.assert_array_equal(ba["passage"]["input_ids"],
+                                      bb["passage"]["input_ids"])
