@@ -153,7 +153,9 @@ def main(
     )
     trainer = ContrastiveTrainer(
         model, params, train_args,
-        train_iter=train_dataloader(example_iter, collator, batch_size),
+        train_iter=train_dataloader(
+            example_iter, collator, batch_size,
+            workers=max(data_args.preprocessing_num_workers, 1)),
     )
     last = find_last_checkpoint(train_args.output_dir) if resume else None
     logs = trainer.train(resume_from=last)
