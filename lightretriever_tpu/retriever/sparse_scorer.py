@@ -183,6 +183,8 @@ class SparseImpactIndex:
             bytes_per = vocab_size * np.dtype(np.float32).itemsize
             chunk_docs = min(max(256, int(mem_budget_bytes / max(bytes_per, 1))), 16384)
         self.chunk_docs = chunk_docs
+        # Bounds the resident path's [Qb, chunk, kmax] gather buffer
+        self.query_block_budget_bytes = 1 << 30
         self._ids: list[np.ndarray] = []
         self._vals: list[np.ndarray] = []
         self._n = 0
@@ -283,9 +285,23 @@ class SparseImpactIndex:
         (token -> weight, typically integer token counts)."""
         q = jnp.asarray(self._query_matrix(queries), self.dtype)
         if self.mesh is None:
-            out = self._search_resident(q, k)
-            if out is not None:
-                return out
+            # Bound the resident path's [Qb, chunk, kmax] gather buffer:
+            # block queries so it stays under ~1GB even for dense-ish docs
+            # (unpruned SPLADE heads can emit kmax ~= V; a 1500-query eval
+            # previously asked for a 98GB fusion buffer).
+            kmax = max((a.shape[1] for a in self._ids), default=1)
+            per_q = self.chunk_docs * kmax * 4
+            q_block = max(int(self.query_block_budget_bytes / max(per_q, 1)), 16)
+            if q.shape[0] > q_block:
+                outs = [self._search_resident(q[lo: lo + q_block], k)
+                        for lo in range(0, q.shape[0], q_block)]
+                if all(o is not None for o in outs):
+                    return (np.concatenate([o[0] for o in outs]),
+                            np.concatenate([o[1] for o in outs]))
+            else:
+                out = self._search_resident(q, k)
+                if out is not None:
+                    return out
         best_s = best_i = None
         offset = 0
         n_shards = self.mesh.shape[self.axis] if self.mesh else 1

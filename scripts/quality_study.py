@@ -159,7 +159,11 @@ def main():
         hybrid_use_emb_vector=all_sys,
         hybrid_use_token_id_vector=all_sys,
         noncontextual_query_embedding=all_sys,
-        sparse_use_relu=True, sparse_use_log_saturation=True)
+        sparse_use_relu=True, sparse_use_log_saturation=True,
+        # SPLADE pruning (reference sparsify knobs): unpruned from-scratch
+        # heads emit near-dense [V] vectors — meaningless as "sparse" reps
+        # and quadratic-memory hostile to every impact engine.
+        sparse_top_k_qry=64, sparse_top_k_psg=256)
     ta = TrainingArguments(
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
