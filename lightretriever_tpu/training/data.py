@@ -529,27 +529,45 @@ def train_dataloader(
 def _pool_collate(groups: Iterator[list[dict]], collator, workers: int,
                   depth: int) -> Iterator[dict]:
     """Sampling (shared seeded RNG) stays serial in the producer;
-    tokenization/padding fans out to the pool. Requires a thread-safe
-    tokenizer (HF fast tokenizers are)."""
+    tokenization/padding fans out to the pool. Each worker thread gets its
+    own deep-copied collator: HF fast tokenizers are NOT thread-safe —
+    set_truncation_and_padding mutates the Rust tokenizer and concurrent
+    calls raise "Already borrowed"."""
+    import copy
+    import threading
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     sampled = hasattr(collator, "get_item")
+    tls = threading.local()
+
+    def collate(items):
+        if not hasattr(tls, "col"):
+            tls.col = copy.deepcopy(collator)
+        return TrainCollator.__call__(tls.col, items)
 
     def submit(pool, group):
         if sampled:
             items = [collator.get_item(g) for g in group]  # serial: rng order
-            return pool.submit(TrainCollator.__call__, collator, items)
-        return pool.submit(collator, group)
+            return pool.submit(collate, items)
+        return pool.submit(collate, group)
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        pending: deque = deque()
+    pool = ThreadPoolExecutor(max_workers=workers)
+    pending: deque = deque()
+    try:
         for group in groups:
             pending.append(submit(pool, group))
             if len(pending) >= depth:
                 yield pending.popleft().result()
         while pending:
             yield pending.popleft().result()
+    finally:
+        # Early generator close (partial consumption / interpreter exit):
+        # drain pending work before the pool threads die — tokenizer calls
+        # aborting mid-flight at shutdown take the process down with them.
+        for f in pending:
+            f.cancel()
+        pool.shutdown(wait=True, cancel_futures=True)
 
 
 def _prefetch_iter(it: Iterator[dict], size: int) -> Iterator[dict]:

@@ -1,0 +1,151 @@
+"""Reranker quality study on the real-text docstring benchmark (one chip).
+
+Trains a from-scratch CrossEncoder on the docstring train rows (listwise CE
+over [pos, BM25-hard-negs] groups — the reference recipe, rerank/modeling.py
+:148-166) and measures the nDCG@10 / MRR@10 uplift from reranking the BM25
+first stage on the held-out queries. This is the production rerank path end
+to end: RerankTrainCollator -> RerankTrainer -> RerankerEncoder.predict.
+
+Usage:
+  python scripts/rerank_study.py --data /tmp/docstring_beir \
+      --tokenizer /tmp/q_s1/tokenizer [--steps 3000] [--first-k 50]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--tokenizer", required=True)
+    ap.add_argument("--out", default="/tmp/rerank_out")
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--n-passages", type=int, default=4)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--max-len", type=int, default=256)
+    ap.add_argument("--first-k", type=int, default=50)
+    ap.add_argument("--max-queries", type=int, default=500)
+    ap.add_argument("--logging-steps", type=int, default=200)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from transformers import PreTrainedTokenizerFast
+
+    from lightretriever_tpu.arguments import ModelArguments, TrainingArguments
+    from lightretriever_tpu.evaluation.harness import load_beir_dataset
+    from lightretriever_tpu.evaluation.metrics import evaluate_retrieval, mrr_at_k
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.rerank.data_utils import RerankTrainCollator
+    from lightretriever_tpu.rerank.inference import RerankerEncoder
+    from lightretriever_tpu.rerank.modeling import CrossEncoder
+    from lightretriever_tpu.rerank.trainer import RerankTrainer
+    from lightretriever_tpu.retriever.sparse_scorer import BM25Index
+    from lightretriever_tpu.training.data import train_dataloader
+    from lightretriever_tpu.training.streaming import StreamingDomain, interleave_streams
+
+    tok = PreTrainedTokenizerFast.from_pretrained(args.tokenizer)
+    on_tpu = jax.default_backend() == "tpu"
+    corpus, queries, qrels = load_beir_dataset(args.data)
+    if args.max_queries:
+        queries = dict(list(queries.items())[: args.max_queries])
+        qrels = {q: qrels[q] for q in queries}
+
+    cfg = DecoderConfig(
+        vocab_size=len(tok), hidden_size=args.hidden,
+        intermediate_size=args.hidden * 3, num_hidden_layers=args.layers,
+        num_attention_heads=max(args.hidden // 64, 2),
+        num_key_value_heads=max(args.hidden // 128, 1),
+        max_position_embeddings=args.max_len, tie_word_embeddings=True)
+    ma = ModelArguments(pooling_strategy="lasttoken", attn_implementation="xla")
+    ta = TrainingArguments(
+        output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
+        warmup_steps=min(100, args.steps // 10),
+        logging_steps=args.logging_steps, save_steps=0, temperature=1.0,
+        bf16=on_tpu, async_logging=True, report_to=("jsonl",),
+        log_file=os.path.join(args.out, "train_log.jsonl"))
+    model = CrossEncoder(ma, ta, cfg, train_n_passages=args.n_passages,
+                         eos_token_id=tok.eos_token_id)
+    params = model.init_params(jax.random.key(0))
+    if on_tpu:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params)
+
+    stream = StreamingDomain(os.path.join(args.data, "train", "docstrings.jsonl"),
+                             name="docstrings", seed=0, buffer_size=8192)
+    col = RerankTrainCollator(tokenizer=tok, max_len=args.max_len,
+                              train_n_passages=args.n_passages, seed=0)
+    it = train_dataloader(interleave_streams({"d": stream}, seed=0), col,
+                          args.batch, workers=4)
+    trainer = RerankTrainer(model, params, ta, train_iter=it)
+    t0 = time.perf_counter()
+    logs = trainer.train()
+    trainer.close()
+    print(f"train: {args.steps} steps in {time.perf_counter()-t0:.0f}s, "
+          f"final loss {logs.get('loss', float('nan')):.4f}", flush=True)
+    params_t = jax.device_get(trainer.state.params)
+
+    # --- first stage: BM25 top-k -------------------------------------------
+    bm25 = BM25Index()
+    ids = list(corpus)
+    bm25.add([corpus[pid]["title"] + " " + corpus[pid]["text"] for pid in ids])
+    qids = list(queries)
+    t0 = time.perf_counter()
+    scores, idx = bm25.search([queries[q] for q in qids], args.first_k)
+    idx = np.asarray(idx)
+    scores = np.asarray(scores)
+    first = {qid: {ids[j]: float(s) for j, s in zip(row_i, row_s) if j >= 0}
+             for qid, row_i, row_s in zip(qids, idx, scores)}
+    print(f"bm25 first stage in {time.perf_counter()-t0:.0f}s", flush=True)
+
+    # --- rerank --------------------------------------------------------------
+    enc = RerankerEncoder(model, params_t, tok, batch_size=64,
+                          max_len=args.max_len)
+    pairs, owners = [], []
+    for qid in qids:
+        for pid in first[qid]:
+            pairs.append((queries[qid], corpus[pid]))
+            owners.append((qid, pid))
+    t0 = time.perf_counter()
+    rr_scores = enc.predict(pairs)
+    t_rr = time.perf_counter() - t0
+    reranked: dict[str, dict[str, float]] = {qid: {} for qid in qids}
+    for (qid, pid), s in zip(owners, rr_scores):
+        reranked[qid][pid] = float(s)
+    print(f"reranked {len(pairs)} pairs in {t_rr:.0f}s "
+          f"({len(pairs)/max(t_rr,1e-9):.0f} pairs/s)", flush=True)
+
+    def score(results):
+        m = evaluate_retrieval(qrels, results, k_values=[1, 10])
+        m.update(mrr_at_k(qrels, results, [10]))
+        return {k: round(m[k], 4) for k in ("NDCG@10", "NDCG@1", "MRR@10")}
+
+    before, after = score(first), score(reranked)
+    out = {"first_stage_bm25": before, "reranked": after,
+           "queries": len(qids), "first_k": args.first_k,
+           "pairs_per_s": round(len(pairs) / max(t_rr, 1e-9), 1)}
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(args.out, "rerank_summary.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
