@@ -538,6 +538,12 @@ def _pool_collate(groups: Iterator[list[dict]], collator, workers: int,
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    # The Rust tokenizers' internal rayon pool deadlocks under concurrent
+    # encode_batch calls from multiple Python threads (observed: all workers
+    # stuck inside _batch_encode_plus). We are the parallelism — turn theirs
+    # off.
+    os.environ["TOKENIZERS_PARALLELISM"] = "false"
+
     sampled = hasattr(collator, "get_item")
     tls = threading.local()
 
