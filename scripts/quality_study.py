@@ -248,9 +248,22 @@ def main():
                                k_values=(1, 3, 5, 10, 100))
         metrics["bm25"] = out_bm["metrics"]
         print(f"bm25 in {time.perf_counter()-t0:.0f}s", flush=True)
+        # Neural+lexical fusion (RRF): the practical serving recipe — dense
+        # adds semantic recall on top of the BM25 candidate set.
+        from lightretriever_tpu.evaluation.harness import _score
+        from lightretriever_tpu.retriever.fusion import fuse
+
+        neural = out["results"]
+        if isinstance(neural, dict) and "den" in neural:
+            for name in ("den", "emb"):
+                if name in neural:
+                    fused = fuse([neural[name], out_bm["results"]], method="rrf")
+                    metrics[f"{name}_bm25_rrf"] = _score(
+                        qrels, fused, (1, 3, 5, 10, 100))
 
     # --- report -----------------------------------------------------------------
-    order = ["bm25", "den", "spr", "emb", "tok", "den_spr", "emb_tok"]
+    order = ["bm25", "den", "spr", "emb", "tok", "den_spr", "emb_tok",
+             "den_bm25_rrf", "emb_bm25_rrf"]
     print("\n| System | NDCG@10 | Recall@100 | NDCG@1 | MRR@10 |")
     print("|---|---|---|---|---|")
     table = {}
