@@ -129,10 +129,33 @@ def bench_vs_full_encoder(
         np.asarray(jax.tree_util.tree_leaves(reps)[0])
     t_full = (time.perf_counter() - t0) / n_iter
 
+    # Pure query-ENCODE comparison (no search on either side): EmbeddingBag
+    # gather-sum vs the full LLM tower — the reproducible analogue of the
+    # paper's ~1000x query-encoding headline (README.md:2 abstract claim).
+    ids, mask = server.tokenize(texts)
+    ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+
+    @jax.jit
+    def _encode_only(table, ids, mask):
+        from ..ops.embedding_bag import embedding_bag_lookup
+
+        return embedding_bag_lookup(table, ids, mask)
+
+    _encode_only(server.table, ids_d, mask_d).block_until_ready()
+    n_enc = max(n_iter * 50, 100)   # lookup is ~us-scale: amortize the tunnel
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_enc):
+        out = _encode_only(server.table, ids_d, mask_d)
+    np.asarray(out)
+    t_lookup = (time.perf_counter() - t0) / n_enc
+
     return {
         "asym_qps": len(texts) / t_asym,
         "full_llm_qps": len(texts) / t_full,
         "query_speedup": t_full / t_asym,
+        "lookup_encode_qps": len(texts) / t_lookup,
+        "encode_only_speedup": t_full / t_lookup,
     }
 
 
