@@ -75,24 +75,29 @@ class RerankTrainCollator(PairCollator):
     def __post_init__(self):
         self.rng = random.Random(self.seed)
 
+    def get_item(self, g: dict) -> list[tuple[str, Any]]:
+        """Sample [pos, negs...] pairs for one group (serial, rng-ordered;
+        worker-pool get_item/collate_items protocol, training/data.py)."""
+        positives = g["positive_passages"]
+        pos = positives[0] if self.positive_passage_no_shuffle \
+            else self.rng.choice(positives)
+        negatives = g["negative_passages"]
+        n_neg = self.train_n_passages - 1
+        if len(negatives) < n_neg:
+            negs = self.rng.choices(negatives, k=n_neg) if negatives else []
+        elif self.negative_passage_no_shuffle:
+            negs = negatives[:n_neg]
+        else:
+            negs = self.rng.sample(negatives, k=n_neg)
+        prompt = g.get("query_prompt", "") or ""
+        return [(prompt + g["query"], p) for p in [pos] + negs]
+
+    def collate_items(self, pairs: list[tuple[str, Any]]) -> dict[str, np.ndarray]:
+        return PairCollator.__call__(self, pairs)
+
     def __call__(self, groups: list[dict]) -> dict[str, np.ndarray]:
-        pairs: list[tuple[str, Any]] = []
-        for g in groups:
-            positives = g["positive_passages"]
-            pos = positives[0] if self.positive_passage_no_shuffle \
-                else self.rng.choice(positives)
-            negatives = g["negative_passages"]
-            n_neg = self.train_n_passages - 1
-            if len(negatives) < n_neg:
-                negs = self.rng.choices(negatives, k=n_neg) if negatives else []
-            elif self.negative_passage_no_shuffle:
-                negs = negatives[:n_neg]
-            else:
-                negs = self.rng.sample(negatives, k=n_neg)
-            prompt = g.get("query_prompt", "") or ""
-            for p in [pos] + negs:
-                pairs.append((prompt + g["query"], p))
-        return super().__call__(pairs)
+        return self.collate_items(
+            [p for g in groups for p in self.get_item(g)])
 
 
 def read_trec_run(path: str, top_k: Optional[int] = None) -> dict[str, list[tuple[str, float]]]:

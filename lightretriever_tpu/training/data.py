@@ -280,6 +280,11 @@ class TrainCollator:
                 batch["q_p_pos_unique_bow_label"] = bow_qp
         return batch
 
+    def collate_items(self, items: list[dict]) -> dict[str, Any]:
+        """Worker-pool protocol (_pool_collate): the thread-safe tokenize/pad
+        step over items already sampled serially by ``get_item``."""
+        return TrainCollator.__call__(self, items)
+
 
 @dataclass
 class IterableTrainCollator(TrainCollator):
@@ -547,16 +552,23 @@ def _pool_collate(groups: Iterator[list[dict]], collator, workers: int,
     sampled = hasattr(collator, "get_item")
     tls = threading.local()
 
-    def collate(items):
+    def collate(items, presampled):
         if not hasattr(tls, "col"):
             tls.col = copy.deepcopy(collator)
-        return TrainCollator.__call__(tls.col, items)
+        if presampled:
+            # Sampling already ran in the producer; invoke the base
+            # tokenize/pad step directly (collate_items protocol).
+            return tls.col.collate_items(items)
+        return tls.col(items)
 
     def submit(pool, group):
         if sampled:
-            items = [collator.get_item(g) for g in group]  # serial: rng order
-            return pool.submit(collate, items)
-        return pool.submit(collate, group)
+            items = []
+            for g in group:  # serial: deterministic rng order
+                it = collator.get_item(g)
+                items.extend(it) if isinstance(it, list) else items.append(it)
+            return pool.submit(collate, items, True)
+        return pool.submit(collate, group, False)
 
     pool = ThreadPoolExecutor(max_workers=workers)
     pending: deque = deque()

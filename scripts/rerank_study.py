@@ -93,8 +93,9 @@ def main():
                              name="docstrings", seed=0, buffer_size=8192)
     col = RerankTrainCollator(tokenizer=tok, max_len=args.max_len,
                               train_n_passages=args.n_passages, seed=0)
-    it = train_dataloader(interleave_streams({"d": stream}, seed=0), col,
-                          args.batch, workers=4)
+    raw_it = train_dataloader(interleave_streams({"d": stream}, seed=0), col,
+                              args.batch, workers=4)
+    it = ({"pairs": b} for b in raw_it)  # RerankTrainer batch contract
     trainer = RerankTrainer(model, params, ta, train_iter=it)
     t0 = time.perf_counter()
     logs = trainer.train()
