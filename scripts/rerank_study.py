@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--first-k", type=int, default=50)
     ap.add_argument("--max-queries", type=int, default=500)
     ap.add_argument("--logging-steps", type=int, default=200)
+    ap.add_argument("--easy-negatives", action="store_true",
+                    help="replace BM25 hard negatives with random corpus "
+                         "docs (from-scratch curriculum: hard negatives are "
+                         "unlearnable from random init)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -91,10 +95,23 @@ def main():
 
     stream = StreamingDomain(os.path.join(args.data, "train", "docstrings.jsonl"),
                              name="docstrings", seed=0, buffer_size=8192)
+    examples = interleave_streams({"d": stream}, seed=0)
+    if args.easy_negatives:
+        import random as _random
+
+        pool = [corpus[pid] for pid in list(corpus)[:20000]]
+        rng = _random.Random(0)
+
+        def _easy(src):
+            for g in src:
+                g = dict(g)
+                g["negative_passages"] = rng.sample(pool, args.n_passages - 1)
+                yield g
+
+        examples = _easy(examples)
     col = RerankTrainCollator(tokenizer=tok, max_len=args.max_len,
                               train_n_passages=args.n_passages, seed=0)
-    raw_it = train_dataloader(interleave_streams({"d": stream}, seed=0), col,
-                              args.batch, workers=4)
+    raw_it = train_dataloader(examples, col, args.batch, workers=4)
     it = ({"pairs": b} for b in raw_it)  # RerankTrainer batch contract
     trainer = RerankTrainer(model, params, ta, train_iter=it)
     t0 = time.perf_counter()
