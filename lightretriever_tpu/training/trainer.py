@@ -130,6 +130,11 @@ class ContrastiveTrainer:
                 self.mesh = None
 
         self.tx, self.schedule = build_optimizer(train_args, params)
+        # LR readout for logging must not touch the accelerator: optax
+        # schedules build a jax graph, and float(schedule(step)) would be a
+        # per-step device round trip (and blocks forever if the device is
+        # mid-compile). Pin it to the CPU backend.
+        self._schedule_cpu = jax.jit(self.schedule, backend="cpu")
         opt_state = self.tx.init(params)
         self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.mesh is not None:
@@ -307,7 +312,7 @@ class ContrastiveTrainer:
             # ones through the tunnel — flip async_logging to defer it.
             logs = {k: float(jax.device_get(v)) for k, v in logs.items()}
         logs["reg_scaling_factor"] = float(reg)
-        logs["lr"] = float(self.schedule(step_i))
+        logs["lr"] = float(self._schedule_cpu(step_i))
         # Per-domain channel loss under homogenous batching (trainer.py:46-67
         # log-key grouping + modeling_encoder.py:280-287)
         if domain_names and len(set(domain_names)) == 1:
@@ -338,7 +343,7 @@ class ContrastiveTrainer:
                for k in all_logs[0]}
         out["grad_norm"] = float(jax.device_get(gnorm))
         out["reg_scaling_factor"] = float(reg)
-        out["lr"] = float(self.schedule(step_i))
+        out["lr"] = float(self._schedule_cpu(step_i))
         return out
 
     def _prep_batch(self, batch: dict):
