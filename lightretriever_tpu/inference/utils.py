@@ -52,3 +52,35 @@ def device_count() -> int:
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def ensure_device_alive(timeout_s: float = 120.0, exit_code: int = 17) -> None:
+    """Fail fast if the accelerator client is wedged.
+
+    A TPU client whose transport died at birth (observed with the tunnel
+    runtime: async dispatches enqueue fine, the first synchronous readback
+    blocks forever) cannot raise — it hangs. Run one tiny synchronous op
+    under a watchdog; if it doesn't complete in ``timeout_s`` the process
+    exits with ``exit_code`` so a launcher (scripts/with_tpu.sh) can retry
+    with a fresh client. Call early, before expensive host-side setup.
+    """
+    import os
+    import threading
+
+    import jax.numpy as jnp
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            import sys
+
+            print(f"ensure_device_alive: no response from "
+                  f"{jax.default_backend()} in {timeout_s}s; exiting "
+                  f"{exit_code} for relaunch", file=sys.stderr, flush=True)
+            os._exit(exit_code)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    x = jnp.ones((128, 128))
+    float(jnp.sum(x @ x))  # synchronous readback
+    done.set()

@@ -29,6 +29,10 @@ if "--cpu" in sys.argv:  # sitecustomize pins the TPU tunnel; flip explicitly
     jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
+from lightretriever_tpu.inference.utils import ensure_device_alive
+
+ensure_device_alive()
+
 
 def timed_pipelined(idx, queries_dev, k, n_iter):
     s = i = None

@@ -41,6 +41,10 @@ if "--cpu" in sys.argv:  # sitecustomize pins the TPU tunnel; flip explicitly
 import jax.numpy as jnp
 import numpy as np
 
+from lightretriever_tpu.inference.utils import ensure_device_alive
+
+ensure_device_alive()
+
 
 def build_bpe_tokenizer(texts, vocab_size: int, out_dir: str | None = None):
     """Train a real BPE tokenizer on the corpus (HF tokenizers, in-image)."""

@@ -28,6 +28,10 @@ if "--cpu" in sys.argv:
 import jax.numpy as jnp
 import numpy as np
 
+from lightretriever_tpu.inference.utils import ensure_device_alive
+
+ensure_device_alive()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -29,6 +29,10 @@ if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
+from lightretriever_tpu.inference.utils import ensure_device_alive
+
+ensure_device_alive()
+
 
 def main():
     ap = argparse.ArgumentParser()
