@@ -52,6 +52,9 @@ def main():
                     help="replace BM25 hard negatives with random corpus "
                          "docs (from-scratch curriculum: hard negatives are "
                          "unlearnable from random init)")
+    ap.add_argument("--easy-steps", type=int, default=0,
+                    help="curriculum: first N steps with random negatives, "
+                         "remaining steps with the mined BM25 hard negatives")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -100,8 +103,9 @@ def main():
     stream = StreamingDomain(os.path.join(args.data, "train", "docstrings.jsonl"),
                              name="docstrings", seed=0, buffer_size=8192)
     examples = interleave_streams({"d": stream}, seed=0)
-    if args.easy_negatives:
+    if args.easy_negatives or args.easy_steps:
         import random as _random
+        from itertools import islice
 
         pool = [corpus[pid] for pid in list(corpus)[:20000]]
         rng = _random.Random(0)
@@ -112,7 +116,17 @@ def main():
                 g["negative_passages"] = rng.sample(pool, args.n_passages - 1)
                 yield g
 
-        examples = _easy(examples)
+        if args.easy_steps:
+            # Curriculum: random negatives first, mined hard negatives after
+            hard = interleave_streams(
+                {"d": StreamingDomain(stream.path, name="docstrings",
+                                      seed=1, buffer_size=8192)}, seed=1)
+            from itertools import chain
+
+            examples = chain(
+                islice(_easy(examples), args.easy_steps * args.batch), hard)
+        else:
+            examples = _easy(examples)
     col = RerankTrainCollator(tokenizer=tok, max_len=args.max_len,
                               train_n_passages=args.n_passages, seed=0)
     raw_it = train_dataloader(examples, col, args.batch, workers=4)
