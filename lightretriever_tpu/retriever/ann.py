@@ -43,8 +43,10 @@ def kmeans(
     init_idx = jax.random.choice(key, n, (n_clusters,), replace=False)
     centroids = x[init_idx]
 
+    # x must be an ARGUMENT: closing over it embeds the full corpus as a
+    # compiled constant (2GB at 1M x 1024 bf16 — broke the remote compiler).
     @jax.jit
-    def step(centroids):
+    def step(x, centroids):
         scores = jax.lax.dot_general(
             x, centroids, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -58,8 +60,16 @@ def kmeans(
         return new.astype(x.dtype)
 
     for _ in range(n_iters):
-        centroids = step(centroids)
+        centroids = step(x, centroids)
     return centroids
+
+
+@jax.jit
+def _assign_clusters(corpus, centroids):
+    scores = jax.lax.dot_general(
+        corpus, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.argmax(scores, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
@@ -134,15 +144,17 @@ class IVFIndex:
         c = min(c, n)
         corpus = jnp.asarray(emb, self.dtype)
         self._centroids = kmeans(corpus, c, self.kmeans_iters)
-        scores = jax.lax.dot_general(
-            corpus, self._centroids, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        assign = np.asarray(jnp.argmax(scores, axis=1))
-        members = [np.nonzero(assign == ci)[0] for ci in range(c)]
-        m_max = max((len(m) for m in members), default=1)
-        m_max = max(m_max, 1)
+        assign = np.asarray(_assign_clusters(corpus, self._centroids))
+        # Group members by cluster in O(N log N): a per-cluster nonzero scan
+        # is O(C*N) (minutes at 1M x 2000).
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(c), side="left")
+        ends = np.searchsorted(sorted_assign, np.arange(c), side="right")
+        m_max = max(int((ends - starts).max()), 1)
         ids = np.full((c, m_max), -1, np.int32)
-        for ci, m in enumerate(members):
+        for ci in range(c):
+            m = order[starts[ci]: ends[ci]]
             ids[ci, : len(m)] = m
         self._corpus = corpus
         self._cluster_ids = jnp.asarray(ids)
@@ -157,9 +169,15 @@ class IVFIndex:
         k_eff = min(k, self._n)
         best_s = best_i = None
         q = np.asarray(queries, np.float32)
-        for lo in range(0, len(q), self.query_chunk):
+        # Bound the per-probe gather [Qc, m_max, D] fp32 buffer to ~2GB:
+        # uneven clusters can make m_max several times the mean size.
+        m_max = int(self._cluster_ids.shape[1])
+        d = int(self._corpus.shape[1])
+        budget = 2 << 30
+        q_chunk = max(min(self.query_chunk, budget // max(m_max * d * 4, 1)), 8)
+        for lo in range(0, len(q), q_chunk):
             s, i = _ivf_search(
-                jnp.asarray(q[lo: lo + self.query_chunk], self.dtype),
+                jnp.asarray(q[lo: lo + q_chunk], self.dtype),
                 self._corpus, self._centroids,
                 self._cluster_ids, self._cluster_valid,
                 k_eff, nprobe,
