@@ -110,8 +110,50 @@ def main():
         print(f"cap={cap}: recall@{args.k}={rec:.4f} "
               f"qps={len(qs)/t_in:.0f} (exact {len(qs)/t_ex:.0f})", flush=True)
 
+    # --- dense ANN engines on the SAME real embeddings -----------------------
+    # (the IVF-vs-approx question is geometry-dependent; synthetic corpora
+    # answer it unfairly — scripts/ann_frontier.py discussion)
+    import jax.numpy as jnp
+
+    from lightretriever_tpu.retriever.ann import IVFIndex
+    from lightretriever_tpu.retriever.knn import FlatIPIndex
+
+    d_den = np.asarray(d_emb["dense_reps"], np.float32)
+    q_den = np.asarray(q_emb["dense_reps"], np.float32)
+    flat = FlatIPIndex(mesh=None, dtype=jnp.bfloat16, topk_method="exact")
+    flat.add(d_den)
+    flat.search(q_den[:8], args.k)
+    t0 = time.perf_counter()
+    _, i_ref = flat.search(q_den, args.k)
+    t_flat = time.perf_counter() - t0
+    i_ref = np.asarray(i_ref)
+    dense_rows = {"exact": {"qps": len(qs) / t_flat, "recall": 1.0}}
+    ap = FlatIPIndex(mesh=None, dtype=jnp.bfloat16, topk_method="approx",
+                     recall_target=0.99)
+    ap.add(d_den)
+    ap.search(q_den[:8], args.k)
+    t0 = time.perf_counter()
+    _, i_ap = ap.search(q_den, args.k)
+    t_ap = time.perf_counter() - t0
+    rec_ap = float(np.mean([len(np.intersect1d(a, b)) / args.k
+                            for a, b in zip(np.asarray(i_ap), i_ref)]))
+    dense_rows["approx rt=0.99"] = {"qps": len(qs) / t_ap,
+                                    "recall": round(rec_ap, 4)}
+    ivf = IVFIndex(nprobe=32)
+    ivf.add(d_den)
+    for nprobe in (8, 32, 64):
+        t0 = time.perf_counter()
+        _, i_iv = ivf.search(q_den, args.k, nprobe=nprobe)
+        t_iv = time.perf_counter() - t0
+        rec_iv = float(np.mean([len(np.intersect1d(a[a >= 0], b)) / args.k
+                                for a, b in zip(np.asarray(i_iv), i_ref)]))
+        dense_rows[f"IVF nprobe={nprobe}"] = {"qps": len(qs) / t_iv,
+                                              "recall": round(rec_iv, 4)}
+        print(f"dense ivf nprobe={nprobe}: recall={rec_iv:.4f} "
+              f"qps={len(qs)/t_iv:.0f}", flush=True)
+
     print(json.dumps({"docs": len(docs), "queries": len(qs), "k": args.k,
-                      "engines": results}))
+                      "engines": results, "dense_engines": dense_rows}))
 
 
 if __name__ == "__main__":
