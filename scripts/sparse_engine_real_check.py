@@ -66,6 +66,8 @@ def main():
     enc = SpmdEncoder(model, params, tok, args=InferenceArguments(
         encode_batch_size=256, pooling_strategy="lasttoken",
         attn_implementation="xla"))
+    if getattr(model.model_args, "hybrid_use_emb_vector", False):
+        enc.cache_emb_bag()  # query encode requires the table when enabled
     t0 = time.perf_counter()
     d_emb = enc.encode_corpus(docs, batch_size=256)
     q_emb = enc.encode_queries(qs, batch_size=256)
