@@ -71,24 +71,25 @@ def main():
     t0 = time.perf_counter()
     d_emb = enc.encode_corpus(docs, batch_size=256)
     q_emb = enc.encode_queries(qs, batch_size=256)
-    d_spr = np.asarray(d_emb["sparse_reps"], np.float32)
-    q_spr = np.asarray(q_emb["sparse_reps"], np.float32)
+
+    def to_vecs(rep):
+        # SpmdEncoder returns converter output: {token_id: quantized_impact}
+        # dicts (the Anserini-json form); keys may be str after json round
+        # trips. Dense [N, V] arrays are also accepted.
+        if isinstance(rep, np.ndarray):
+            return [{int(t): float(row[t]) for t in np.nonzero(row > 0)[0]}
+                    for row in rep]
+        return [{int(t): float(x) for t, x in vec.items()} for vec in rep]
+
+    d_vecs = to_vecs(d_emb["sparse_reps"])
+    q_vecs = to_vecs(q_emb["sparse_reps"])
     print(f"encoded {len(docs)} docs / {len(qs)} queries "
           f"in {time.perf_counter()-t0:.0f}s; "
-          f"doc L0={float((d_spr > 0).sum(1).mean()):.1f} "
-          f"query L0={float((q_spr > 0).sum(1).mean()):.1f}", flush=True)
-
-    def to_vecs(mat):
-        out = []
-        for row in mat:
-            nz = np.nonzero(row > 0)[0]
-            out.append({int(t): float(row[t]) for t in nz})
-        return out
-
-    d_vecs, q_vecs = to_vecs(d_spr), to_vecs(q_spr)
+          f"doc L0={np.mean([len(v) for v in d_vecs]):.1f} "
+          f"query L0={np.mean([len(v) for v in q_vecs]):.1f}", flush=True)
 
     exact = SparseImpactIndex(vocab_size=vocab)
-    exact.add(d_vecs, quantize=True)
+    exact.add(d_vecs, quantize=False)  # converter already quantized
     exact.search(q_vecs[:8], args.k)
     t0 = time.perf_counter()
     _, i_ex = exact.search(q_vecs, args.k)
@@ -98,7 +99,7 @@ def main():
     results = {"exhaustive": {"qps": len(qs) / t_ex, "recall": 1.0}}
     for cap in (256, 1024, 4096):
         inv = InvertedImpactIndex(vocab_size=vocab, postings_cap=cap)
-        inv.add(d_vecs, quantize=True)
+        inv.add(d_vecs, quantize=False)
         inv.search(q_vecs[:8], args.k)
         t0 = time.perf_counter()
         _, i_in = inv.search(q_vecs, args.k)
