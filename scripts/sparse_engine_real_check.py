@@ -79,7 +79,12 @@ def main():
         if isinstance(rep, np.ndarray):
             return [{int(t): float(row[t]) for t in np.nonzero(row > 0)[0]}
                     for row in rep]
-        return [{int(t): float(x) for t, x in vec.items()} for vec in rep]
+        out = []
+        for vec in rep:
+            if isinstance(vec, str):  # converter json-string form
+                vec = json.loads(vec)
+            out.append({int(t): float(x) for t, x in vec.items()})
+        return out
 
     d_vecs = to_vecs(d_emb["sparse_reps"])
     q_vecs = to_vecs(q_emb["sparse_reps"])
