@@ -54,7 +54,8 @@ def local_device_count() -> int:
     return jax.local_device_count()
 
 
-def ensure_device_alive(timeout_s: float = 120.0, exit_code: int = 17) -> None:
+def ensure_device_alive(timeout_s: Optional[float] = None,
+                        exit_code: int = 17) -> None:
     """Fail fast if the accelerator client is wedged.
 
     A TPU client whose transport died at birth (observed with the tunnel
@@ -69,6 +70,8 @@ def ensure_device_alive(timeout_s: float = 120.0, exit_code: int = 17) -> None:
 
     import jax.numpy as jnp
 
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("LR_DEVICE_ALIVE_TIMEOUT", 120))
     done = threading.Event()
 
     def watchdog():

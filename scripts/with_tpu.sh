@@ -1,23 +1,25 @@
 #!/bin/bash
-# Launch a TPU job robustly:
-# 1. probe the tunnel with a throwaway client until it answers;
-# 2. run the job; if it exits 17 (ensure_device_alive watchdog: client was
-#    born with a dead transport), wait and relaunch with a fresh client.
+# Launch a TPU job robustly. The tunnel hands out good and wedged client
+# slots unpredictably; a wedged client cannot error — it hangs. Strategy:
+# one initial probe (fail fast if the tunnel is fully down), then launch
+# the job directly and rely on its ensure_device_alive watchdog (rc=17) to
+# cycle through slots WITHOUT interleaving extra probe clients (a probe can
+# consume the next good slot and leave the job the broken one).
 probe() {
   timeout 90 python -c "import jax, jax.numpy as jnp; (jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready()" >/dev/null 2>&1
 }
-for attempt in $(seq 1 8); do
-  for i in $(seq 1 40); do
-    probe && break
-    echo "tpu preflight attempt $i failed; retrying" >&2
-    sleep 30
-  done
+for i in $(seq 1 40); do
+  probe && break
+  echo "tpu preflight attempt $i failed; retrying" >&2
+  sleep 30
+done
+export LR_DEVICE_ALIVE_TIMEOUT=${LR_DEVICE_ALIVE_TIMEOUT:-75}
+for attempt in $(seq 1 12); do
   sleep 5
   "$@"
   rc=$?
   [ $rc -ne 17 ] && exit $rc
   echo "job client was wedged at birth (rc=17); relaunching (attempt $attempt)" >&2
-  sleep 45
 done
-echo "giving up after 8 wedged launches" >&2
+echo "giving up after 12 wedged launches" >&2
 exit 1
