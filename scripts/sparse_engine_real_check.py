@@ -81,8 +81,14 @@ def main():
                     for row in rep]
         out = []
         for vec in rep:
-            if isinstance(vec, str):  # converter json-string form
-                vec = json.loads(vec)
+            if isinstance(vec, str):
+                try:  # converter json-string form
+                    vec = json.loads(vec)
+                except json.JSONDecodeError:
+                    # pseudo-text form: "id id id ..." repeated by impact
+                    from collections import Counter
+
+                    vec = dict(Counter(int(t) for t in vec.split()))
             out.append({int(t): float(x) for t, x in vec.items()})
         return out
 
