@@ -343,6 +343,10 @@ class InferenceArguments(ModelArguments):
     shard_params_threshold_bytes: int = 8 * 1024**3
     # Params smaller than this (elements) stay replicated under fsdp/hybrid
     shard_params_min_size: int = 2**16
+    # Run the encode towers with q/k/v (and gate/up) concatenated into one
+    # wide GEMM each (models/decoder.py:fuse_decoder_params) — one weight
+    # stream over HBM instead of three. Checkpoints stay HF-unfused.
+    fuse_projections: bool = True
     # Retrieval knobs
     retrieval_use_dense: bool = True
     retrieval_use_sparse: bool = False

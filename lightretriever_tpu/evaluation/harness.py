@@ -183,7 +183,10 @@ def launch_eval(
             results = load_predictions(pred_load, task)
             res = {"metrics": _score(qrels, results, k_values),
                    "results": results,
-                   "timing": {"search_s": 0.0, "qps": float("inf")}}
+                   # qps=0.0 (not inf): json.dump would emit the
+                   # non-standard token `Infinity`, which strict JSON
+                   # parsers reject.
+                   "timing": {"search_s": 0.0, "qps": 0.0}}
         else:
             res = evaluate_task(
                 searcher, corpus, queries, qrels,
@@ -241,7 +244,7 @@ def load_predictions(folder: str, task: str) -> dict[str, dict[str, float]]:
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"no saved predictions for task {task!r} at {path}; run once with "
-            "save_predictions=True (prediction_dir={folder}) first")
+            f"save_predictions=True (prediction_dir={folder}) first")
     with open(path) as f:
         results = json.load(f)
     # results may be nested per-system ({system: {qid: {pid: score}}}) when
@@ -304,7 +307,12 @@ def call_evaluate_mteb(eval_args, encoder, mesh=None):
     try:  # pragma: no cover - depends on installed mteb version
         searcher.mteb_model_meta = mteb.models.bm25.bm25_s
     except AttributeError:
-        pass
+        # Without a non-dense ModelMeta MTEB silently falls back to its own
+        # dense encode path (ignoring searcher.search) — make that visible.
+        logger.warning(
+            "mteb.models.bm25.bm25_s not found in this mteb version; MTEB may "
+            "bypass the custom searcher.search() and use its dense default. "
+            "Verify result paths before trusting scores.")
 
     tasks = mteb.get_tasks(tasks=list(eval_args.task_names),
                            languages=list(eval_args.task_langs))

@@ -405,11 +405,17 @@ class EncoderModel:
                 {k: _yamlable(v) for k, v in dataclasses.asdict(self.model_args).items()}, f
             )
         qry = params["qry"]
+        if dec.params_are_fused(qry):
+            # merge_lora addresses per-module q_proj/... names — restore the
+            # unfused layout first (save_decoder_params would unfuse anyway)
+            qry = dec.unfuse_decoder_params(qry, self.config_qry)
         if "lora_qry" in params and self.model_args.merge_peft_when_save:
             qry = merge_lora(qry, params["lora_qry"],
                              self.model_args.lora_r, self.model_args.lora_alpha)
         if self.untied:
             psg = params["psg"]
+            if dec.params_are_fused(psg):
+                psg = dec.unfuse_decoder_params(psg, self.config_psg)
             if "lora_psg" in params and self.model_args.merge_peft_when_save:
                 psg = merge_lora(psg, params["lora_psg"],
                                  self.model_args.lora_r, self.model_args.lora_alpha)

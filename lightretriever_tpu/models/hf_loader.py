@@ -104,9 +104,16 @@ def load_decoder_params(
 
 
 def save_decoder_params(params: Params, config: DecoderConfig, path: str) -> None:
-    """Save the pytree back to HF layout (model.safetensors + config.json)."""
-    from safetensors.numpy import save_file
+    """Save the pytree back to HF layout (model.safetensors + config.json).
 
+    Accepts either the unfused layout or the fused compute layout
+    (qkv_proj/gate_up_proj, models/decoder.py:fuse_decoder_params) — fused
+    params are split back so the on-disk interchange stays HF-exact."""
+    from safetensors.numpy import save_file
+    from .decoder import params_are_fused, unfuse_decoder_params
+
+    if params_are_fused(params):
+        params = unfuse_decoder_params(params, config)
     os.makedirs(path, exist_ok=True)
     tensors: dict[str, np.ndarray] = {}
     tensors["model.embed_tokens.weight"] = np.asarray(params["embed_tokens"], np.float32)

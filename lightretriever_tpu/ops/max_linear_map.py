@@ -23,6 +23,7 @@ A pure-jnp oracle (`max_linear_map_reference`) mirrors the reference's naive
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -252,7 +253,17 @@ def _max_linear_map_xla(hidden, weight, bias, mask):
 
 
 # Auto-dispatch to the XLA path when fp32 logits fit comfortably (bytes).
-XLA_LOGITS_BYTES_LIMIT = 2 * 1024**3
+# Budget the *backward* transient, not just the forward buffer: under
+# jax.checkpoint the bwd pass holds the recomputed [B,S,V] fp32 logits AND
+# their cotangent simultaneously (~2x the buffer) alongside params/grads/
+# optimizer state, so the default is 512MB (~1GB peak transient) rather
+# than the naive 2GB. Override with LRT_XLA_LOGITS_BYTES_LIMIT or pass
+# impl= explicitly. Note a gradient-semantics difference between paths:
+# the XLA reduce_max splits the gradient evenly among tied maxima, while
+# the Pallas kernel routes it to a single argmax winner (the reference's
+# utils/max_linear_map.py:92-172 argmax semantics); forward values match.
+XLA_LOGITS_BYTES_LIMIT = int(os.environ.get(
+    "LRT_XLA_LOGITS_BYTES_LIMIT", 512 * 1024**2))
 
 
 def max_linear_mapping(
@@ -271,8 +282,11 @@ def max_linear_mapping(
       mask: [B, S]; nonzero = valid. None = all valid.
       vocab_tile: vocab tile width per program (multiple of 128).
       impl: 'pallas' | 'xla' | None (auto: XLA one-GEMM path when the fp32
-        logits buffer is under XLA_LOGITS_BYTES_LIMIT, else the vocab-tiled
-        Pallas kernel that never materializes [B, S, V]).
+        logits buffer is under XLA_LOGITS_BYTES_LIMIT (env
+        LRT_XLA_LOGITS_BYTES_LIMIT), else the vocab-tiled Pallas kernel
+        that never materializes [B, S, V]). Tie gradients differ between
+        the two: XLA reduce_max splits the grad among tied maxima; the
+        Pallas kernel routes it all to one argmax winner.
     Rows with no valid position return -1e30 everywhere and receive no
     gradient — matching the reference's masked_fill(min) semantics
     (utils/max_linear_map.py:44-63).

@@ -32,6 +32,13 @@ class RerankerEncoder:
         self.batch_size = batch_size
         self.collator = PairCollator(tokenizer=tokenizer, max_len=max_len,
                                      query_prompt=query_prompt)
+        if isinstance(params, dict) and isinstance(params.get("lm"), dict):
+            # One wide QKV / gate-up GEMM per layer on the scoring hot path
+            # (models/decoder.py:fuse_decoder_params).
+            from ..models.decoder import fuse_decoder_params
+
+            params = dict(params)
+            params["lm"] = fuse_decoder_params(params["lm"])
         if mesh is not None:
             from ..parallel.mesh import replicated_sharding
 

@@ -364,10 +364,27 @@ LUCENE_EN_STOPWORDS = frozenset(
 )
 
 
-def lucene_analyze(text: str, stopwords: frozenset = LUCENE_EN_STOPWORDS) -> list[str]:
-    """Lowercase + word split + stopword removal — the analysis Lucene applies
-    in the reference's BM25 path (anserini_search.py native analyzer)."""
-    return [t for t in _TOKEN_RE.findall(text.lower()) if t not in stopwords]
+def lucene_analyze(text: str, stopwords: frozenset = LUCENE_EN_STOPWORDS,
+                   stem: bool = True) -> list[str]:
+    """Lowercase + word split + stopword removal + Porter stemming — the
+    analysis Lucene's EnglishAnalyzer applies in the reference's BM25 path
+    (anserini_search.py:195-202 ``-language en``): StandardTokenizer →
+    EnglishPossessiveFilter → LowerCaseFilter → StopFilter →
+    PorterStemFilter. Stemming runs AFTER stopword removal, matching the
+    filter order. Pass ``stem=False`` for the pre-round-3 unstemmed
+    behavior (kept for ablation)."""
+    from ..utils.porter import porter_stem
+
+    toks = (t for t in _TOKEN_RE.findall(text.lower()) if t not in stopwords)
+    if not stem:
+        return list(toks)
+    return [porter_stem(t) for t in toks]
+
+
+def lucene_analyze_nostem(text: str,
+                          stopwords: frozenset = LUCENE_EN_STOPWORDS) -> list[str]:
+    """Unstemmed variant (lowercase/split/stopwords only) for ablations."""
+    return lucene_analyze(text, stopwords, stem=False)
 
 
 class BM25Index:

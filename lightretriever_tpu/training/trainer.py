@@ -133,8 +133,16 @@ class ContrastiveTrainer:
         # LR readout for logging must not touch the accelerator: optax
         # schedules build a jax graph, and float(schedule(step)) would be a
         # per-step device round trip (and blocks forever if the device is
-        # mid-compile). Pin it to the CPU backend.
-        self._schedule_cpu = jax.jit(self.schedule, backend="cpu")
+        # mid-compile). Pin it to the CPU backend via default_device (the
+        # jit `backend=` kwarg is deprecated and slated for removal).
+        _cpu0 = jax.local_devices(backend="cpu")[0]
+        _sched_jit = jax.jit(self.schedule)
+
+        def _schedule_cpu(step):
+            with jax.default_device(_cpu0):
+                return _sched_jit(step)
+
+        self._schedule_cpu = _schedule_cpu
         opt_state = self.tx.init(params)
         self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.mesh is not None:
