@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -100,6 +101,29 @@ def main():
                          "--out dir (saved model/); projectors fresh-init")
     ap.add_argument("--skip-train", action="store_true",
                     help="evaluate --init-from weights without training")
+    # --- round-3 levers (VERDICT r2 next #1) --------------------------------
+    ap.add_argument("--init-trunk", default=None,
+                    help="HF-layout pretrained decoder dir (lm_pretrain.py "
+                         "output model/): warm-start the trunk and use ITS "
+                         "tokenizer/config instead of building fresh")
+    ap.add_argument("--train-file", default=None,
+                    help="override train jsonl (e.g. bm25_teacher.py output "
+                         "with ce_score annotations)")
+    ap.add_argument("--distill", action="store_true",
+                    help="enable ce_scores KL distillation (BM25 teacher)")
+    ap.add_argument("--distill-coef", type=float, default=1.0)
+    ap.add_argument("--distill-temp", type=float, default=4.0,
+                    help="teacher/student softmax temperature for the KL "
+                         "(BM25 scores span ~0-40; 4.0 keeps the softmax "
+                         "informative rather than one-hot)")
+    ap.add_argument("--pooling", default="lasttoken",
+                    choices=("lasttoken", "mean", "mean_eos"),
+                    help="dense pooling strategy for the study model")
+    ap.add_argument("--clloss-coef", type=float, default=1.0)
+    ap.add_argument("--fusion-dev-frac", type=float, default=1 / 3,
+                    help="fraction of queries (by id hash) used to pick the "
+                         "min-max linear fusion weight; metrics reported on "
+                         "the full set AND the held-out remainder")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -128,35 +152,46 @@ def main():
         qrels = {q: qrels[q] for q in queries}
     print(f"eval corpus={len(corpus)} queries={len(queries)}", flush=True)
 
-    # --- tokenizer over the real corpus -------------------------------------
+    # --- tokenizer over the real corpus (or the pretrained trunk's) ---------
     t0 = time.perf_counter()
-    tok_dir = os.path.join(args.out, "tokenizer")
-    if os.path.exists(os.path.join(tok_dir, "tokenizer.json")):
+    if args.init_trunk:
         from transformers import PreTrainedTokenizerFast
 
-        tok = PreTrainedTokenizerFast.from_pretrained(tok_dir)
+        tok = PreTrainedTokenizerFast.from_pretrained(args.init_trunk)
     else:
-        tok = build_bpe_tokenizer(
-            (d["title"] + " " + d["text"] for d in corpus.values()),
-            args.vocab, tok_dir)
+        tok_dir = os.path.join(args.out, "tokenizer")
+        if os.path.exists(os.path.join(tok_dir, "tokenizer.json")):
+            from transformers import PreTrainedTokenizerFast
+
+            tok = PreTrainedTokenizerFast.from_pretrained(tok_dir)
+        else:
+            tok = build_bpe_tokenizer(
+                (d["title"] + " " + d["text"] for d in corpus.values()),
+                args.vocab, tok_dir)
     vocab_size = len(tok)
     print(f"tokenizer: {vocab_size} tokens in {time.perf_counter()-t0:.1f}s",
           flush=True)
 
     # --- model ----------------------------------------------------------------
-    cfg = DecoderConfig(
-        vocab_size=vocab_size, hidden_size=args.hidden,
-        intermediate_size=args.hidden * 3, num_hidden_layers=args.layers,
-        num_attention_heads=max(args.hidden // 64, 2),
-        num_key_value_heads=max(args.hidden // 128, 1),
-        max_position_embeddings=max(args.p_max, args.q_max),
-        rms_norm_eps=1e-6, rope_theta=1e4, tie_word_embeddings=True)
+    if args.init_trunk:
+        cfg = DecoderConfig.from_pretrained(args.init_trunk)
+        cfg = dataclasses.replace(
+            cfg, max_position_embeddings=max(
+                cfg.max_position_embeddings, args.p_max, args.q_max))
+    else:
+        cfg = DecoderConfig(
+            vocab_size=vocab_size, hidden_size=args.hidden,
+            intermediate_size=args.hidden * 3, num_hidden_layers=args.layers,
+            num_attention_heads=max(args.hidden // 64, 2),
+            num_key_value_heads=max(args.hidden // 128, 1),
+            max_position_embeddings=max(args.p_max, args.q_max),
+            rms_norm_eps=1e-6, rope_theta=1e4, tie_word_embeddings=True)
     on_tpu = jax.default_backend() == "tpu"
     all_sys = args.systems == "all"
     # XLA attention: at S<=192 with a small model the Pallas kernel gains
     # nothing but costs ~130s extra compile (measured; PERFORMANCE.md).
     ma = ModelArguments(
-        pooling_strategy="lasttoken",
+        pooling_strategy=args.pooling,
         attn_implementation="xla",
         hybrid_use_dense_vector=True,
         hybrid_use_sparse_vector=all_sys,
@@ -173,12 +208,20 @@ def main():
         warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
         save_steps=max(args.steps // 4, 500), save_total_limit=2,
         temperature=args.temperature, bf16=on_tpu,
+        clloss_coef=args.clloss_coef,
+        distillation=args.distill, distill_coef=args.distill_coef,
+        distill_temperature=args.distill_temp,
         emb_den_scores_distillation=True, async_logging=True,
         report_to=("jsonl",), log_file=os.path.join(args.out, "train_log.jsonl"))
     model = HybridModel(ma, ta, cfg, eos_token_id=tok.eos_token_id,
                         pad_token_id=tok.pad_token_id)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = model.init_params(jax.random.key(0), dtype)
+    if args.init_trunk:
+        from lightretriever_tpu.models.hf_loader import load_decoder_params
+
+        params["qry"] = load_decoder_params(args.init_trunk, cfg, dtype)
+        print(f"warm-started trunk from pretrained {args.init_trunk}", flush=True)
     if args.init_from:
         # Stage-2 warm start: trunk from the stage-1 run; any params the
         # saved model lacks (e.g. sparse projectors) keep their fresh init.
@@ -193,7 +236,8 @@ def main():
           flush=True)
 
     # --- streaming train pipeline over the real training rows ------------------
-    train_path = os.path.join(args.data, "train", "docstrings.jsonl")
+    train_path = args.train_file or os.path.join(
+        args.data, "train", "docstrings.jsonl")
     stream = StreamingDomain(train_path, name="docstrings", seed=0,
                              buffer_size=8192)
     col = IterableTrainCollator(
@@ -252,22 +296,62 @@ def main():
                                k_values=(1, 3, 5, 10, 100))
         metrics["bm25"] = out_bm["metrics"]
         print(f"bm25 in {time.perf_counter()-t0:.0f}s", flush=True)
-        # Neural+lexical fusion (RRF): the practical serving recipe — dense
-        # adds semantic recall on top of the BM25 candidate set.
+        # Neural+lexical fusion. Reference default is min-max LINEAR
+        # [0.7, 0.3] (eval_arguments.py:48, score_fuse_utils.py:48-91);
+        # round 2 used rank-RRF here, which drags a strong system toward a
+        # weak one (VERDICT r2 weak #4). Protocol: sweep the linear weight
+        # on a dev split (query-id hash), apply the best weight to all
+        # queries, report full-set + held-out metrics; keep the RRF row and
+        # the reference-default [0.7,0.3] row for comparison.
+        import hashlib
+
         from lightretriever_tpu.evaluation.harness import _score
         from lightretriever_tpu.retriever.fusion import fuse
 
+        def _is_dev(qid):
+            h = int(hashlib.sha1(str(qid).encode()).hexdigest(), 16)
+            return (h % 1000) < args.fusion_dev_frac * 1000
+
+        dev_q = {q for q in queries if _is_dev(q)}
+        hold_q = set(queries) - dev_q
+        sub = lambda res, qs: {q: r for q, r in res.items() if q in qs}
         neural = out["results"]
-        if isinstance(neural, dict) and "den" in neural:
-            for name in ("den", "emb"):
-                if name in neural:
-                    fused = fuse([neural[name], out_bm["results"]], method="rrf")
-                    metrics[f"{name}_bm25_rrf"] = _score(
-                        qrels, fused, (1, 3, 5, 10, 100))
+        fusion_sweep = {}
+        if isinstance(neural, dict):
+            for name in ("den", "emb", "spr", "tok"):
+                if name not in neural:
+                    continue
+                best_w, best_ndcg = None, -1.0
+                for w in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+                    fused = fuse([sub(neural[name], dev_q),
+                                  sub(out_bm["results"], dev_q)],
+                                 weights=[w, 1.0 - w])
+                    nd = _score({q: qrels[q] for q in dev_q}, fused,
+                                (10,))["NDCG@10"]
+                    fusion_sweep[f"{name}_w{w}"] = round(nd, 4)
+                    if nd > best_ndcg:
+                        best_w, best_ndcg = w, nd
+                fused_all = fuse([neural[name], out_bm["results"]],
+                                 weights=[best_w, 1.0 - best_w])
+                m_all = _score(qrels, fused_all, (1, 3, 5, 10, 100))
+                m_hold = _score({q: qrels[q] for q in hold_q},
+                                sub(fused_all, hold_q), (10, 100))
+                m_all["NDCG@10_holdout"] = m_hold["NDCG@10"]
+                m_all["Recall@100_holdout"] = m_hold["Recall@100"]
+                m_all["best_w"] = best_w
+                metrics[f"{name}_bm25_lin"] = m_all
+                # reference-default weights + RRF comparison rows
+                metrics[f"{name}_bm25_lin70"] = _score(
+                    qrels, fuse([neural[name], out_bm["results"]],
+                                weights=[0.7, 0.3]), (1, 3, 5, 10, 100))
+                metrics[f"{name}_bm25_rrf"] = _score(
+                    qrels, fuse([neural[name], out_bm["results"]],
+                                method="rrf"), (1, 3, 5, 10, 100))
 
     # --- report -----------------------------------------------------------------
-    order = ["bm25", "den", "spr", "emb", "tok", "den_spr", "emb_tok",
-             "den_bm25_rrf", "emb_bm25_rrf"]
+    order = ["bm25", "den", "spr", "emb", "tok", "den_spr", "emb_tok"]
+    for name in ("den", "emb", "spr", "tok"):
+        order += [f"{name}_bm25_lin", f"{name}_bm25_lin70", f"{name}_bm25_rrf"]
     print("\n| System | NDCG@10 | Recall@100 | NDCG@1 | MRR@10 |")
     print("|---|---|---|---|---|")
     table = {}
@@ -283,7 +367,15 @@ def main():
         "corpus": len(corpus), "queries": len(queries), "steps": args.steps,
         "params_m": round(n_params / 1e6, 1), "backend": jax.default_backend(),
         "train_s": round(train_s, 1), "metrics": table,
+        "pooling": args.pooling, "distill": bool(args.distill),
+        "init_trunk": args.init_trunk,
     }
+    if not args.skip_bm25 and "fusion_sweep" in dir():
+        summary["fusion_sweep"] = fusion_sweep
+        summary["holdout"] = {
+            n: {"NDCG@10": metrics[n].get("NDCG@10_holdout"),
+                "best_w": metrics[n].get("best_w")}
+            for n in metrics if n.endswith("_bm25_lin")}
     with open(os.path.join(args.out, "quality_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
