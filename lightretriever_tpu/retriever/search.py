@@ -171,6 +171,15 @@ class SparseSearch:
       synthetic impacts, but postings are capped (postings_cap/term, queries
       truncated to max_query_terms) so results can diverge on corpora where
       common-term document frequency exceeds the cap. Opt in for serving.
+    * ``impact``: impact-ordered candidate generation + exact rescoring
+      (retriever/block_max.py:ImpactOrderedIndex) — the JASS/MaxScore
+      analogue and the serving choice for large corpora: per-term top-cap
+      postings drive candidates, every candidate is exact-scored (no score
+      truncation, fixing the inverted engine's recall collapse on real
+      outputs), per-query exactness certificates.
+    * ``blockmax``: block-max pruned search (block_max.py:
+      BlockMaxImpactIndex) — doc-block upper bounds + certificates; wins
+      when docs cluster tightly, loses to ``impact`` on diffuse corpora.
     """
 
     def __init__(
@@ -186,6 +195,8 @@ class SparseSearch:
         engine: str = "exhaustive",
         postings_cap: int = 1024,
         max_query_terms: int = 256,
+        block_docs: int = 128,
+        probe_blocks: int = 32,
     ):
         self.model = model
         self.vocab_size = vocab_size
@@ -197,6 +208,8 @@ class SparseSearch:
         self.engine = engine
         self.postings_cap = postings_cap
         self.max_query_terms = max_query_terms
+        self.block_docs = block_docs
+        self.probe_blocks = probe_blocks
         self._index = None
         self._corpus_ids: list[str] = []
 
@@ -212,6 +225,24 @@ class SparseSearch:
                     postings_cap=self.postings_cap,
                     quantization_factor=self.quantization_factor,
                     max_query_terms=self.max_query_terms,
+                )
+            elif self.engine == "impact" and self.mesh is None:
+                from .block_max import ImpactOrderedIndex
+
+                self._index = ImpactOrderedIndex(
+                    vocab_size=self.vocab_size,
+                    postings_cap=self.postings_cap,
+                    max_query_terms=self.max_query_terms,
+                    quantization_factor=self.quantization_factor,
+                )
+            elif self.engine == "blockmax" and self.mesh is None:
+                from .block_max import BlockMaxImpactIndex
+
+                self._index = BlockMaxImpactIndex(
+                    vocab_size=self.vocab_size,
+                    block_docs=self.block_docs,
+                    probe_blocks=self.probe_blocks,
+                    quantization_factor=self.quantization_factor,
                 )
             else:
                 self._index = SparseImpactIndex(

@@ -124,6 +124,37 @@ def main():
         print(f"cap={cap}: recall@{args.k}={rec:.4f} "
               f"qps={len(qs)/t_in:.0f} (exact {len(qs)/t_ex:.0f})", flush=True)
 
+    # --- pruned fast engines (round 3, VERDICT r2 next #2) -------------------
+    from lightretriever_tpu.retriever.block_max import (
+        BlockMaxImpactIndex,
+        ImpactOrderedIndex,
+    )
+
+    def run_fast(name, idx):
+        idx.add(d_vecs, quantize=False)
+        idx.search(q_vecs[:8], args.k)
+        t0 = time.perf_counter()
+        _, i_f = idx.search(q_vecs, args.k)
+        t_f = time.perf_counter() - t0
+        i_f = np.asarray(i_f)
+        rec = float(np.mean([
+            len(np.intersect1d(a[a >= 0], b[b >= 0])) / max((b >= 0).sum(), 1)
+            for a, b in zip(i_f, i_ex)]))
+        results[name] = {
+            "qps": len(qs) / t_f, "recall": round(rec, 4),
+            "certified": round(idx.last_certified_frac, 4)}
+        print(f"{name}: recall@{args.k}={rec:.4f} "
+              f"certified={idx.last_certified_frac:.3f} qps={len(qs)/t_f:.0f}",
+              flush=True)
+
+    for cap in (128, 256, 1024):
+        run_fast(f"impact cap={cap}",
+                 ImpactOrderedIndex(vocab_size=vocab, postings_cap=cap))
+    for probe in (32, 128):
+        run_fast(f"blockmax probe={probe}",
+                 BlockMaxImpactIndex(vocab_size=vocab, block_docs=128,
+                                     probe_blocks=probe))
+
     # --- dense ANN engines on the SAME real embeddings -----------------------
     # (the IVF-vs-approx question is geometry-dependent; synthetic corpora
     # answer it unfairly — scripts/ann_frontier.py discussion)

@@ -161,16 +161,17 @@ def test_sparse_search_engines_agree(rng):
     qids = ["q0", "q1", "q2"]
 
     results = {}
-    for engine in ("inverted", "exhaustive"):
+    for engine in ("inverted", "impact", "blockmax", "exhaustive"):
         ss = SparseSearch(vocab_size=V, engine=engine)
         ss.index(docs, ids)
         results[engine] = ss.retrieve_with_emb(queries, qids, top_k=5)
         ss.clear()
-    for qid in qids:
-        a, b = results["inverted"][qid], results["exhaustive"][qid]
-        for pid in set(a) & set(b):
-            np.testing.assert_allclose(a[pid], b[pid], rtol=1e-5)
-        assert max(a, key=a.get, default=None) == max(b, key=b.get, default=None)
+    for engine in ("inverted", "impact", "blockmax"):
+        for qid in qids:
+            a, b = results[engine][qid], results["exhaustive"][qid]
+            for pid in set(a) & set(b):
+                np.testing.assert_allclose(a[pid], b[pid], rtol=1e-5)
+            assert max(a, key=a.get, default=None) == max(b, key=b.get, default=None)
 
 
 def test_train_dataloader_prefetch(rng):
