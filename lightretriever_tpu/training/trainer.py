@@ -75,13 +75,18 @@ def _chunked_encode(encode_fn: Callable, batch: dict, chunk_size: int):
     recomputes activations chunk-wise — bounded memory like GradCache
     (reference: trainer.py:437-462), but a single differentiable program.
     """
-    b = next(iter(batch.values())).shape[0]
+    # Static (non-array) entries — e.g. the jit-static ``nonctx_prompt_len``
+    # of the blocked query path — pass through unchunked via closure.
+    static = {k: v for k, v in batch.items() if not hasattr(v, "shape")}
+    arrays = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+    b = next(iter(arrays.values())).shape[0]
     if chunk_size <= 0 or chunk_size >= b:
         return encode_fn(batch)
     assert b % chunk_size == 0, f"batch {b} % gc chunk {chunk_size} != 0"
     n = b // chunk_size
-    chunked = {k: v.reshape(n, chunk_size, *v.shape[1:]) for k, v in batch.items()}
-    reps = jax.lax.map(jax.checkpoint(encode_fn), chunked)
+    chunked = {k: v.reshape(n, chunk_size, *v.shape[1:]) for k, v in arrays.items()}
+    fn = jax.checkpoint(lambda ch: encode_fn({**ch, **static}))
+    reps = jax.lax.map(fn, chunked)
     return jax.tree_util.tree_map(lambda x: x.reshape(b, *x.shape[2:]), reps)
 
 
