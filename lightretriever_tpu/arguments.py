@@ -302,6 +302,12 @@ class TrainingArguments:
     # MRL
     matryoshka_dims: tuple[Optional[int], ...] = (None,)
 
+    # LoRA training freezes the base trunks (parity: peft — only adapter +
+    # projector params receive grads/optimizer state; the reference never
+    # trains the base under LoRA, modeling_encoder.py:658-676). Disable to
+    # full-finetune alongside adapters.
+    lora_freeze_base: bool = True
+
     # GradCache-equivalent chunked rep forward (reference: trainer.py:409-462)
     grad_cache: bool = False
     gc_q_chunk_size: int = 32

@@ -134,7 +134,20 @@ class ContrastiveTrainer:
             except Exception:
                 self.mesh = None
 
-        self.tx, self.schedule = build_optimizer(train_args, params)
+        # LoRA freezes the base trunks: grads + optimizer state only for
+        # adapter/projector params (parity: peft adapter-only training,
+        # modeling_encoder.py:658-676). Frozen keys pass through the step
+        # untouched — no Adam moments, no base grads (the 8B-recipe memory
+        # budget depends on this; see scripts/feasibility_8b.py).
+        ma = getattr(model, "model_args", None)
+        freeze = bool(getattr(ma, "lora", False)) and train_args.lora_freeze_base
+        self._frozen_keys = (
+            frozenset(k for k in params if k in ("qry", "psg"))
+            if freeze else frozenset())
+        trainable = {k: v for k, v in params.items()
+                     if k not in self._frozen_keys}
+
+        self.tx, self.schedule = build_optimizer(train_args, trainable)
         # LR readout for logging must not touch the accelerator: optax
         # schedules build a jax graph, and float(schedule(step)) would be a
         # per-step device round trip (and blocks forever if the device is
@@ -148,7 +161,7 @@ class ContrastiveTrainer:
                 return _sched_jit(step)
 
         self._schedule_cpu = _schedule_cpu
-        opt_state = self.tx.init(params)
+        opt_state = self.tx.init(trainable)
         self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.mesh is not None:
             self.state = self._shard_state(self.state)
@@ -252,16 +265,25 @@ class ContrastiveTrainer:
         return (scale(q_ids.shape[1], q_ids.shape[0]),
                 scale(p_ids.shape[1], p_ids.shape[0]))
 
+    def _split_params(self, params: dict) -> tuple[dict, dict]:
+        """(trainable, frozen) split by top-level key (LoRA frozen base)."""
+        if not self._frozen_keys:
+            return params, {}
+        return ({k: v for k, v in params.items() if k not in self._frozen_keys},
+                {k: v for k, v in params.items() if k in self._frozen_keys})
+
     def _build_step(self):
         tx = self.tx
 
         def step(state: TrainState, batch, reg_factor, q_prompt_len: int):
             batch = _restore_statics(batch, q_prompt_len)
+            trainable, frozen = self._split_params(state.params)
             (loss, logs), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True
-            )(state.params, batch, reg_factor)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+                lambda t, b, r: self._loss_fn({**frozen, **t}, b, r),
+                has_aux=True,
+            )(trainable, batch, reg_factor)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_params = {**frozen, **optax.apply_updates(trainable, updates)}
             gnorm = optax.global_norm(grads)
             logs = dict(logs)
             logs["loss"] = loss
@@ -279,8 +301,10 @@ class ContrastiveTrainer:
         @functools.partial(jax.jit, static_argnums=(3,))
         def grad_fn(params, batch, reg_factor, q_prompt_len: int = -1):
             batch = _restore_statics(batch, q_prompt_len)
+            trainable, frozen = self._split_params(params)
             (loss, logs), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True)(params, batch, reg_factor)
+                lambda t, b, r: self._loss_fn({**frozen, **t}, b, r),
+                has_aux=True)(trainable, batch, reg_factor)
             logs = dict(logs)
             logs["loss"] = loss
             return grads, logs
@@ -292,8 +316,9 @@ class ContrastiveTrainer:
         @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
         def apply_fn(state: TrainState, grads, n_accum: int):
             grads = jax.tree_util.tree_map(lambda g: g / n_accum, grads)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            trainable, frozen = self._split_params(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable)
+            new_params = {**frozen, **optax.apply_updates(trainable, updates)}
             return (TrainState(new_params, new_opt, state.step + 1),
                     optax.global_norm(grads))
 

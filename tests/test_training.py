@@ -389,3 +389,57 @@ def test_load_checkpoint_rejects_hf_layout(tok, tmp_path):
         trainer2.load_checkpoint(ckpt)
     with pytest.raises(FileNotFoundError):
         trainer2.load_checkpoint(str(tmp_path / "nope"))
+
+
+def test_lora_freeze_base_trains_adapters_only(tok):
+    """LoRA default: base trunks frozen — no grads applied, no optimizer
+    state (parity: peft adapter-only training, modeling_encoder.py:658-676).
+    The 8B-recipe memory budget depends on this (scripts/feasibility_8b.py)."""
+    ma = ModelArguments(
+        pooling_strategy="lasttoken", attn_implementation="xla",
+        hybrid_use_dense_vector=True, lora=True, lora_r=2, lora_alpha=4,
+    )
+    ta = TrainingArguments(learning_rate=1e-2, max_steps=2, temperature=0.05)
+    model = HybridModel(ma, ta, TINY, eos_token_id=tok.eos_token_id)
+    params = model.init_params(jax.random.key(0))
+    trainer = ContrastiveTrainer(model, params, ta)
+    col = IterableTrainCollator(tokenizer=tok, q_max_len=32, p_max_len=32,
+                                train_n_passages=2)
+    it = train_dataloader(iter(_groups(8)), col, batch_size=8)
+    base_before = jax.device_get(params["qry"])
+    lora_before = jax.device_get(params["lora_qry"])
+    trainer.training_step(next(it))
+    after = jax.device_get(trainer.state.params)
+
+    # Base trunk bit-identical; adapters moved
+    for a, b in zip(jax.tree_util.tree_leaves(base_before),
+                    jax.tree_util.tree_leaves(after["qry"])):
+        np.testing.assert_array_equal(a, b)
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(lora_before),
+                        jax.tree_util.tree_leaves(after["lora_qry"])))
+    assert moved, "LoRA adapters did not update"
+
+    # Optimizer state excludes the frozen trunks entirely
+    opt_leaves = sum(
+        int(np.prod(x.shape)) for x in
+        jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if hasattr(x, "shape"))
+    n_base = sum(int(np.prod(x.shape))
+                 for x in jax.tree_util.tree_leaves(params["qry"]))
+    assert opt_leaves < 3 * n_base, (
+        f"opt state {opt_leaves} should not cover the frozen base {n_base}")
+
+    # Opting out restores full-finetune behavior
+    ta2 = TrainingArguments(learning_rate=1e-2, max_steps=1,
+                            temperature=0.05, lora_freeze_base=False)
+    model2 = HybridModel(ma, ta2, TINY, eos_token_id=tok.eos_token_id)
+    trainer2 = ContrastiveTrainer(model2, model2.init_params(jax.random.key(0)), ta2)
+    it2 = train_dataloader(iter(_groups(8)), col, batch_size=8)
+    trainer2.training_step(next(it2))
+    after2 = jax.device_get(trainer2.state.params)
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(base_before),
+                        jax.tree_util.tree_leaves(after2["qry"])))
