@@ -75,9 +75,11 @@ class RerankTrainCollator(PairCollator):
     def __post_init__(self):
         self.rng = random.Random(self.seed)
 
-    def get_item(self, g: dict) -> list[tuple[str, Any]]:
-        """Sample [pos, negs...] pairs for one group (serial, rng-ordered;
-        worker-pool get_item/collate_items protocol, training/data.py)."""
+    def get_item(self, g: dict) -> list[tuple[str, Any, float]]:
+        """Sample [pos, negs...] triples (query, passage, teacher score) for
+        one group (serial, rng-ordered; worker-pool get_item/collate_items
+        protocol, training/data.py). Teacher scores ride along when the rows
+        carry ``ce_score`` annotations (listwise distillation)."""
         positives = g["positive_passages"]
         pos = positives[0] if self.positive_passage_no_shuffle \
             else self.rng.choice(positives)
@@ -90,10 +92,19 @@ class RerankTrainCollator(PairCollator):
         else:
             negs = self.rng.sample(negatives, k=n_neg)
         prompt = g.get("query_prompt", "") or ""
-        return [(prompt + g["query"], p) for p in [pos] + negs]
 
-    def collate_items(self, pairs: list[tuple[str, Any]]) -> dict[str, np.ndarray]:
-        return PairCollator.__call__(self, pairs)
+        def ce(p):
+            v = p.get("ce_score") if isinstance(p, dict) else None
+            return float(v) if v is not None else float("nan")
+
+        return [(prompt + g["query"], p, ce(p)) for p in [pos] + negs]
+
+    def collate_items(self, items: list[tuple[str, Any, float]]) -> dict[str, np.ndarray]:
+        batch = PairCollator.__call__(self, [(q, p) for q, p, _ in items])
+        scores = np.asarray([s for _, _, s in items], np.float32)
+        if np.isfinite(scores).all():
+            batch["ce_scores"] = scores.reshape(-1, self.train_n_passages)
+        return batch
 
     def __call__(self, groups: list[dict]) -> dict[str, np.ndarray]:
         return self.collate_items(

@@ -109,7 +109,22 @@ class CrossEncoder:
             -1, self.train_n_passages)
         target = jnp.zeros(scores.shape[0], jnp.int32)  # positive is first
         loss = cross_entropy_loss(scores, target)
-        return RerankerOutput(loss=loss, logits=logits, logs={"loss": loss})
+        logs = {"loss": loss, "ce_loss": loss}
+        ce_scores = batch.get("ce_scores")
+        if (training and self.train_args.distillation and ce_scores is not None):
+            # Listwise KL from first-stage teacher scores onto the CE
+            # logits (the distill path the retriever's KL uses,
+            # modeling_encoder.py:188-290, applied to the reranker's
+            # [B, n_psg] score lists).
+            t = self.train_args.distill_temperature
+            teacher = jax.nn.log_softmax(ce_scores / t, axis=-1)
+            student = jax.nn.log_softmax(
+                logits.reshape(-1, self.train_n_passages) / t, axis=-1)
+            kl = jnp.sum(jnp.exp(teacher) * (teacher - student), axis=-1).mean()
+            loss = loss + self.train_args.distill_coef * kl
+            logs["distill_klloss"] = kl
+            logs["loss"] = loss
+        return RerankerOutput(loss=loss, logits=logits, logs=logs)
 
     # -- save / load -------------------------------------------------------------
     def save(self, params: Params, output_dir: str) -> None:

@@ -55,6 +55,19 @@ def main():
     ap.add_argument("--easy-steps", type=int, default=0,
                     help="curriculum: first N steps with random negatives, "
                          "remaining steps with the mined BM25 hard negatives")
+    # --- round-3 levers (VERDICT r2 next #3) --------------------------------
+    ap.add_argument("--init-trunk", default=None,
+                    help="HF-layout pretrained decoder dir (lm_pretrain.py "
+                         "output): warm-start the CE backbone and use ITS "
+                         "config/tokenizer (overrides --layers/--hidden)")
+    ap.add_argument("--train-file", default=None,
+                    help="override train jsonl (bm25_teacher.py output with "
+                         "ce_score annotations for --distill)")
+    ap.add_argument("--distill", action="store_true",
+                    help="listwise KL from BM25 teacher ce_scores onto the "
+                         "CE logits")
+    ap.add_argument("--distill-coef", type=float, default=1.0)
+    ap.add_argument("--distill-temp", type=float, default=4.0)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -79,28 +92,45 @@ def main():
         queries = dict(list(queries.items())[: args.max_queries])
         qrels = {q: qrels[q] for q in queries}
 
-    cfg = DecoderConfig(
-        vocab_size=len(tok), hidden_size=args.hidden,
-        intermediate_size=args.hidden * 3, num_hidden_layers=args.layers,
-        num_attention_heads=max(args.hidden // 64, 2),
-        num_key_value_heads=max(args.hidden // 128, 1),
-        max_position_embeddings=args.max_len, tie_word_embeddings=True)
+    if args.init_trunk:
+        import dataclasses
+
+        tok = PreTrainedTokenizerFast.from_pretrained(args.init_trunk)
+        cfg = DecoderConfig.from_pretrained(args.init_trunk)
+        cfg = dataclasses.replace(cfg, max_position_embeddings=max(
+            cfg.max_position_embeddings, args.max_len))
+    else:
+        cfg = DecoderConfig(
+            vocab_size=len(tok), hidden_size=args.hidden,
+            intermediate_size=args.hidden * 3, num_hidden_layers=args.layers,
+            num_attention_heads=max(args.hidden // 64, 2),
+            num_key_value_heads=max(args.hidden // 128, 1),
+            max_position_embeddings=args.max_len, tie_word_embeddings=True)
     ma = ModelArguments(pooling_strategy="lasttoken", attn_implementation="xla")
     ta = TrainingArguments(
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10),
         logging_steps=args.logging_steps, save_steps=0, temperature=1.0,
+        distillation=args.distill, distill_coef=args.distill_coef,
+        distill_temperature=args.distill_temp,
         bf16=on_tpu, async_logging=True, report_to=("jsonl",),
         log_file=os.path.join(args.out, "train_log.jsonl"))
     model = CrossEncoder(ma, ta, cfg, train_n_passages=args.n_passages,
                          eos_token_id=tok.eos_token_id)
     params = model.init_params(jax.random.key(0))
+    if args.init_trunk:
+        from lightretriever_tpu.models.hf_loader import load_decoder_params
+
+        params["lm"] = load_decoder_params(args.init_trunk, cfg, jnp.float32)
+        print(f"warm-started CE backbone from {args.init_trunk}", flush=True)
     if on_tpu:
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params)
 
-    stream = StreamingDomain(os.path.join(args.data, "train", "docstrings.jsonl"),
+    train_path = args.train_file or os.path.join(
+        args.data, "train", "docstrings.jsonl")
+    stream = StreamingDomain(train_path,
                              name="docstrings", seed=0, buffer_size=8192)
     examples = interleave_streams({"d": stream}, seed=0)
     if args.easy_negatives or args.easy_steps:

@@ -128,3 +128,37 @@ def test_rerank_trainer_step(tok):
     } for i in range(8)]
     logs = trainer.training_step({"pairs": col(groups)})
     assert np.isfinite(logs["loss"])
+
+
+def test_rerank_collator_ce_scores_and_distill(tok):
+    """Teacher ce_scores ride the collated batch and add a listwise KL to
+    the CE loss (VERDICT r2 next #3: BM25-score distillation)."""
+    col = RerankTrainCollator(tokenizer=tok, max_len=32, train_n_passages=2,
+                              seed=0)
+    groups = [{
+        "query": "question about fox",
+        "positive_passages": [{"text": "document about fox", "ce_score": 9.0}],
+        "negative_passages": [{"text": "document about cake", "ce_score": 1.5}],
+    } for _ in range(2)]
+    batch = col(groups)
+    assert batch["ce_scores"].shape == (2, 2)
+    np.testing.assert_allclose(batch["ce_scores"][0], [9.0, 1.5])
+
+    # No scores -> no ce_scores key
+    plain = [{k: ([{"text": p["text"]} for p in v] if k.endswith("passages")
+                  else v) for k, v in g.items()} for g in groups]
+    assert "ce_scores" not in col(plain)
+
+    ta = TrainingArguments(temperature=1.0, distillation=True,
+                           distill_coef=1.0, distill_temperature=2.0)
+    model = CrossEncoder(_margs(), ta, TINY, train_n_passages=2)
+    params = model.init_params(jax.random.key(0))
+    out = model.forward(params, batch, training=True)
+    assert "distill_klloss" in out.logs
+    assert float(out.logs["loss"]) > float(out.logs["ce_loss"]) - 1e-6
+
+    # Without distillation flag the loss is pure CE
+    model2 = CrossEncoder(_margs(), TrainingArguments(temperature=1.0), TINY,
+                          train_n_passages=2)
+    out2 = model2.forward(params, batch, training=True)
+    assert "distill_klloss" not in out2.logs
