@@ -227,3 +227,179 @@ class AsymmetricHybridServer:
             ranked = sorted(fused.get(str(q), {}).items(), key=lambda kv: -kv[1])[:k]
             out.append(ranked)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Latency measurement + dynamic batching (VERDICT r2 next #8)
+# ---------------------------------------------------------------------------
+def measure_latency_percentiles(
+    call_fn,
+    texts: Sequence[str],
+    batch_sizes: Sequence[int] = (1, 4, 16),
+    n_calls: int = 100,
+    k: int = 10,
+) -> dict[str, dict[str, float]]:
+    """Per-call wall-clock latency percentiles for a ``call_fn(texts, k)``.
+
+    Unlike amortized-QPS timing (bench_vs_full_encoder), every call here is
+    synchronous host->device->host — the number a serving SLO actually sees,
+    including the tokenizer and the tunnel round trip. Returns
+    {"b{B}": {"p50_ms", "p99_ms", "mean_ms", "qps"}} per batch size.
+    """
+    texts = list(texts)
+    out: dict[str, dict[str, float]] = {}
+    for b in batch_sizes:
+        batch = [texts[i % len(texts)] for i in range(b)]
+        call_fn(batch, k)  # compile at this shape
+        lat = []
+        for i in range(n_calls):
+            rot = [texts[(i + j) % len(texts)] for j in range(b)]
+            t0 = time.perf_counter()
+            r = call_fn(rot, k)
+            np.asarray(jax.tree_util.tree_leaves(r)[0])
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat = np.asarray(lat)
+        out[f"b{b}"] = {
+            "p50_ms": float(np.percentile(lat, 50)),
+            "p99_ms": float(np.percentile(lat, 99)),
+            "mean_ms": float(lat.mean()),
+            "qps": float(b / (lat.mean() / 1e3)),
+        }
+    return out
+
+
+class DynamicBatchingServer:
+    """Micro-batching front end for an AsymmetricDenseServer.
+
+    Single-query requests enqueue; a background worker drains the queue up
+    to ``max_batch`` (or until ``max_wait_ms`` after the first request) and
+    issues ONE fused device call for the whole micro-batch. Batch sizes are
+    bucketed to powers of two (pad by repeating the last query) so the
+    serve kernel compiles a handful of shapes, never per-request.
+
+    This replaces the reference's RPC feeder-thread fan-out
+    (inference/exact_search_torchrpc.py:73-81) for the serving path: on TPU
+    one chip serves the whole micro-batch in a single call, so batching —
+    not worker fan-out — is the latency/throughput lever.
+    """
+
+    def __init__(self, server: AsymmetricDenseServer, k: int = 10,
+                 max_batch: int = 64, max_wait_ms: float = 2.0):
+        import queue as _queue
+        import threading
+
+        self.server = server
+        self.k = k
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._closed = False
+        # Pre-compile every bucket shape so first requests do not pay XLA
+        for b in self._buckets():
+            server.query(["warmup"] * b, k)
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def _buckets(self):
+        b, out = 1, []
+        while b < self.max_batch:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch)
+        return out
+
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets():
+            if n <= b:
+                return b
+        return self.max_batch
+
+    def submit(self, text: str):
+        """Enqueue one query; returns a concurrent.futures.Future resolving
+        to (scores [k], doc_ids [k])."""
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((text, fut))
+        return fut
+
+    def _loop(self):
+        import queue as _queue
+
+        while not self._closed:
+            try:
+                first = self._q.get(timeout=0.1)
+            except _queue.Empty:
+                continue
+            if first is None:
+                return
+            items = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    self._closed = True
+                    break
+                items.append(nxt)
+            texts = [t for t, _ in items]
+            width = self._bucket(len(texts))
+            padded = texts + [texts[-1]] * (width - len(texts))
+            try:
+                scores, ids = self.server.query(padded, self.k)
+                for j, (_, fut) in enumerate(items):
+                    fut.set_result((scores[j], ids[j]))
+            except Exception as e:  # pragma: no cover - surfacing only
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+
+def measure_dynamic_batching(
+    batcher: DynamicBatchingServer,
+    texts: Sequence[str],
+    offered_qps: float,
+    n_requests: int = 200,
+    seed: int = 0,
+) -> dict[str, float]:
+    """Open-loop load test: Poisson arrivals at ``offered_qps``; returns
+    p50/p99 end-to-end request latency and achieved throughput."""
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(1.0 / offered_qps, n_requests)
+    futs, done_at = [], [0.0] * n_requests
+    t_submit = [0.0] * n_requests
+
+    def _mark(i):
+        # completion timestamped by the worker's callback, not by the
+        # collection loop (which would inflate early requests' latency)
+        def cb(_):
+            done_at[i] = time.perf_counter()
+        return cb
+
+    t_start = time.perf_counter()
+    for i in range(n_requests):
+        time.sleep(max(0.0, float(gaps[i])))
+        t_submit[i] = time.perf_counter()
+        f = batcher.submit(texts[i % len(texts)])
+        f.add_done_callback(_mark(i))
+        futs.append(f)
+    for f in futs:
+        f.result(timeout=30)
+    wall = time.perf_counter() - t_start
+    lat = (np.asarray(done_at) - np.asarray(t_submit)) * 1e3
+    return {
+        "offered_qps": offered_qps,
+        "achieved_qps": n_requests / wall,
+        "p50_ms": float(np.percentile(lat, 50)),
+        "p99_ms": float(np.percentile(lat, 99)),
+    }
