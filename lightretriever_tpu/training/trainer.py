@@ -455,6 +455,10 @@ class ContrastiveTrainer:
                 self.save_checkpoint(
                     os.path.join(ta.output_dir, f"checkpoint-{step_i + 1}"))
                 self._rotate_checkpoints()
+        if self._log_accum:
+            # Flush the tail so short runs (max_steps < logging_steps) still
+            # report a final loss instead of an empty dict.
+            last_logs = self._flush_logs(self._host_step, t0)
         return last_logs
 
     def evaluate(self, eval_batches: Optional[list[dict]] = None) -> dict[str, float]:

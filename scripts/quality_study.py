@@ -120,6 +120,10 @@ def main():
                     choices=("lasttoken", "mean", "mean_eos"),
                     help="dense pooling strategy for the study model")
     ap.add_argument("--clloss-coef", type=float, default=1.0)
+    ap.add_argument("--mrl-dims", default=None,
+                    help="comma list (e.g. 64,128,256): train with "
+                         "matryoshka_dims and sweep truncated dense search "
+                         "over these dims at eval (VERDICT r2 next #9)")
     ap.add_argument("--fusion-dev-frac", type=float, default=1 / 3,
                     help="fraction of queries (by id hash) used to pick the "
                          "min-max linear fusion weight; metrics reported on "
@@ -203,7 +207,10 @@ def main():
         # heads emit near-dense [V] vectors — meaningless as "sparse" reps
         # and quadratic-memory hostile to every impact engine.
         sparse_top_k_qry=64, sparse_top_k_psg=256)
+    mrl_dims = (tuple(int(d) for d in args.mrl_dims.split(","))
+                if args.mrl_dims else ())
     ta = TrainingArguments(
+        matryoshka_dims=(None,) + mrl_dims,
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
         save_steps=max(args.steps // 4, 500), save_total_limit=2,
@@ -348,6 +355,35 @@ def main():
                     qrels, fuse([neural[name], out_bm["results"]],
                                 method="rrf"), (1, 3, 5, 10, 100))
 
+    # --- MRL truncated-search sweep (VERDICT r2 next #9) --------------------
+    mrl_sweep = {}
+    if mrl_dims:
+        from lightretriever_tpu.evaluation.harness import _score
+        from lightretriever_tpu.retriever.knn import FlatIPIndex
+
+        ids = list(corpus)
+        c_emb = np.asarray(enc.encode_corpus(
+            [corpus[i] for i in ids],
+            batch_size=args.encode_batch)["dense_reps"], np.float32)
+        qids = list(queries)
+        q_emb = np.asarray(enc.encode_queries(
+            [queries[i] for i in qids],
+            batch_size=args.encode_batch)["dense_reps"], np.float32)
+        idx = FlatIPIndex()
+        idx.add(c_emb)
+        # One resident full-dim index; every truncated search is a zero-copy
+        # slice + renormalized scoring (knn.py FlatIPIndex.search dim=).
+        for d in (None,) + mrl_dims:
+            s, i = idx.search(q_emb, args.top_k, dim=d)
+            res = {qid: {ids[j]: float(sv) for j, sv in zip(ri, rs) if j >= 0}
+                   for qid, ri, rs in zip(qids, i, s)}
+            mrl_sweep[str(d or c_emb.shape[1])] = _score(
+                qrels, res, (10, 100))
+        print("\n| MRL dim | NDCG@10 | Recall@100 |")
+        print("|---|---|---|")
+        for d, m in mrl_sweep.items():
+            print(f"| {d} | {m['NDCG@10']:.4f} | {m['Recall@100']:.4f} |")
+
     # --- report -----------------------------------------------------------------
     order = ["bm25", "den", "spr", "emb", "tok", "den_spr", "emb_tok"]
     for name in ("den", "emb", "spr", "tok"):
@@ -370,6 +406,8 @@ def main():
         "pooling": args.pooling, "distill": bool(args.distill),
         "init_trunk": args.init_trunk,
     }
+    if mrl_sweep:
+        summary["mrl_sweep"] = mrl_sweep
     if not args.skip_bm25 and "fusion_sweep" in dir():
         summary["fusion_sweep"] = fusion_sweep
         summary["holdout"] = {
