@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--seq", type=int, default=512)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--attn", default="pallas")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse QKV / gate-up projections (the SpmdEncoder "
+                         "serving layout; VERDICT r2 next #5)")
     args = ap.parse_args()
 
     from lightretriever_tpu.models import decoder
@@ -61,6 +64,8 @@ def main():
         num_key_value_heads=args.kv_heads,
         max_position_embeddings=args.seq, tie_word_embeddings=True)
     params = decoder.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    if args.fuse:
+        params = decoder.fuse_decoder_params(params)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
     # Forward FLOPs ~= 2 * n_params_nonembed * tokens + attention

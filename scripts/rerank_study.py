@@ -36,7 +36,8 @@ ensure_device_alive()
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
-    ap.add_argument("--tokenizer", required=True)
+    ap.add_argument("--tokenizer", default=None,
+                    help="tokenizer dir (optional when --init-trunk is set)")
     ap.add_argument("--out", default="/tmp/rerank_out")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -85,7 +86,10 @@ def main():
     from lightretriever_tpu.training.data import train_dataloader
     from lightretriever_tpu.training.streaming import StreamingDomain, interleave_streams
 
-    tok = PreTrainedTokenizerFast.from_pretrained(args.tokenizer)
+    assert args.tokenizer or args.init_trunk, \
+        "pass --tokenizer (or --init-trunk, whose tokenizer is used)"
+    tok = PreTrainedTokenizerFast.from_pretrained(
+        args.tokenizer or args.init_trunk)
     on_tpu = jax.default_backend() == "tpu"
     corpus, queries, qrels = load_beir_dataset(args.data)
     if args.max_queries:
