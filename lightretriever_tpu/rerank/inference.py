@@ -53,6 +53,9 @@ class RerankerEncoder:
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             bs = max(bs // n_dev, 1) * n_dev
         out = np.zeros(len(pairs), np.float32)
+        pending = None  # pipelined dispatch: collect batch i-1 while the
+        # device runs batch i (a per-batch sync costs a full tunnel round
+        # trip; overlapped, host tokenization rides under device compute)
         for lo in range(0, len(pairs), bs):
             chunk = pairs[lo: lo + bs]
             n_valid = len(chunk)
@@ -64,7 +67,13 @@ class RerankerEncoder:
 
                 batch = shard_batch(self.mesh, batch)
             scores = self._score_fn(self.params, batch)
-            out[lo: lo + n_valid] = np.asarray(scores, np.float32)[:n_valid]
+            if pending is not None:
+                plo, pvalid, ps = pending
+                out[plo: plo + pvalid] = np.asarray(ps, np.float32)[:pvalid]
+            pending = (lo, n_valid, scores)
+        if pending is not None:
+            plo, pvalid, ps = pending
+            out[plo: plo + pvalid] = np.asarray(ps, np.float32)[:pvalid]
         return out
 
 
