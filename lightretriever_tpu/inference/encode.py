@@ -70,6 +70,10 @@ class SpmdEncoder:
                     params[key] = fuse_decoder_params(params[key])
         if mesh is not None:
             params = jax.device_put(params, self._param_shardings(params))
+        else:
+            # Pin device-resident: host-numpy params would re-transfer on
+            # every encode call (tunnel-dominated; see RerankerEncoder).
+            params = jax.device_put(params)
         self.params = params
 
         ma = self.model.model_args

@@ -43,6 +43,12 @@ class RerankerEncoder:
             from ..parallel.mesh import replicated_sharding
 
             params = jax.device_put(params, replicated_sharding(mesh))
+        else:
+            # Pin params device-resident up front: host arrays would be
+            # re-transferred on EVERY score call (~140MB/call for a 70M
+            # bf16 model — measured 10.5 pairs/s through the tunnel vs
+            # device-resident throughput).
+            params = jax.device_put(params)
         self.params = params
         self._score_fn = jax.jit(lambda p, b: self.model.score(p, b))
 

@@ -172,6 +172,32 @@ def main():
     print(f"train: {args.steps} steps in {time.perf_counter()-t0:.0f}s, "
           f"final loss {logs.get('loss', float('nan')):.4f}", flush=True)
     params_t = jax.device_get(trainer.state.params)
+    model.save(params_t, os.path.join(args.out, "model"))
+    tok.save_pretrained(os.path.join(args.out, "model"))
+
+    # --- in-distribution check: held-out groups at train layout -------------
+    # Separates "didn't learn" from "didn't transfer to top-k reranking":
+    # accuracy of ranking the positive first among train_n_passages
+    # candidates on 200 UNSEEN training-file groups.
+    from itertools import islice
+
+    held = list(islice(interleave_streams(
+        {"d": StreamingDomain(train_path, name="docstrings", seed=99,
+                              buffer_size=4096)}, seed=99), 200))
+    hcol = RerankTrainCollator(tokenizer=tok, max_len=args.max_len,
+                               train_n_passages=args.n_passages, seed=7)
+    hbatch = hcol(held)
+    import jax.numpy as _jnp
+
+    hscores = np.asarray(jax.device_get(
+        jax.jit(lambda p, b: model.score(p, b))(
+            trainer.state.params,
+            {k: _jnp.asarray(v) for k, v in hbatch.items()
+             if k != "ce_scores"})), np.float32)
+    hs = hscores.reshape(-1, args.n_passages)
+    in_dist_acc = float((hs.argmax(1) == 0).mean())
+    print(f"in-distribution: P(pos ranked 1st of {args.n_passages}) = "
+          f"{in_dist_acc:.3f} on 200 held-out groups", flush=True)
 
     # --- first stage: BM25 top-k -------------------------------------------
     bm25 = BM25Index()
@@ -208,8 +234,30 @@ def main():
         m.update(mrr_at_k(qrels, results, [10]))
         return {k: round(m[k], 4) for k in ("NDCG@10", "NDCG@1", "MRR@10")}
 
+    # Diagnostics: per-query Spearman(CE, BM25) — low correlation with a
+    # BM25-distilled CE means train->predict mismatch, not weak learning —
+    # and a random-shuffle floor to calibrate "barely above random".
+    from scipy.stats import spearmanr
+
+    cors = []
+    for qid in qids:
+        pids = list(first[qid])
+        if len(pids) < 3:
+            continue
+        bm = [first[qid][p] for p in pids]
+        ce = [reranked[qid][p] for p in pids]
+        r = spearmanr(bm, ce).statistic
+        if np.isfinite(r):
+            cors.append(r)
+    rng = np.random.default_rng(0)
+    shuffled = {qid: {pid: float(rng.random()) for pid in first[qid]}
+                for qid in qids}
+
     before, after = score(first), score(reranked)
     out = {"first_stage_bm25": before, "reranked": after,
+           "random_shuffle_floor": score(shuffled),
+           "spearman_ce_vs_bm25_median": round(float(np.median(cors)), 4),
+           "in_distribution_top1_acc": round(in_dist_acc, 4),
            "queries": len(qids), "first_k": args.first_k,
            "pairs_per_s": round(len(pairs) / max(t_rr, 1e-9), 1)}
     print(json.dumps(out, indent=2))
