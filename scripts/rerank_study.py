@@ -99,7 +99,8 @@ def main():
     if args.init_trunk:
         import dataclasses
 
-        tok = PreTrainedTokenizerFast.from_pretrained(args.init_trunk)
+        tok = PreTrainedTokenizerFast.from_pretrained(
+            args.tokenizer or args.init_trunk)
         cfg = DecoderConfig.from_pretrained(args.init_trunk)
         cfg = dataclasses.replace(cfg, max_position_embeddings=max(
             cfg.max_position_embeddings, args.max_len))
