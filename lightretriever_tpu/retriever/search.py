@@ -171,15 +171,20 @@ class SparseSearch:
       synthetic impacts, but postings are capped (postings_cap/term, queries
       truncated to max_query_terms) so results can diverge on corpora where
       common-term document frequency exceeds the cap. Opt in for serving.
+    * ``tiered``: df-tiered exact MaxScore search
+      (retriever/tiered_impact.py:TieredImpactIndex) — full rare-term
+      postings + dense heavy columns + certificate-gated heavy scan.
+      EXACT (certified per query) and the fast serving choice; measured
+      faster than ``exhaustive`` at every corpus scale (PERFORMANCE.md
+      round-3 sparse section).
     * ``impact``: impact-ordered candidate generation + exact rescoring
-      (retriever/block_max.py:ImpactOrderedIndex) — the JASS/MaxScore
-      analogue and the serving choice for large corpora: per-term top-cap
-      postings drive candidates, every candidate is exact-scored (no score
-      truncation, fixing the inverted engine's recall collapse on real
-      outputs), per-query exactness certificates.
+      (retriever/block_max.py:ImpactOrderedIndex) — per-term top-cap
+      postings drive candidates, every candidate is exact-scored with a
+      doc-major gather. Kept for study; the doc-major rescore measured
+      slower than exhaustive on chip — prefer ``tiered``.
     * ``blockmax``: block-max pruned search (block_max.py:
       BlockMaxImpactIndex) — doc-block upper bounds + certificates; wins
-      when docs cluster tightly, loses to ``impact`` on diffuse corpora.
+      only when docs cluster tightly. Kept for study — prefer ``tiered``.
     """
 
     def __init__(
@@ -225,6 +230,13 @@ class SparseSearch:
                     postings_cap=self.postings_cap,
                     quantization_factor=self.quantization_factor,
                     max_query_terms=self.max_query_terms,
+                )
+            elif self.engine == "tiered" and self.mesh is None:
+                from .tiered_impact import TieredImpactIndex
+
+                self._index = TieredImpactIndex(
+                    vocab_size=self.vocab_size,
+                    quantization_factor=self.quantization_factor,
                 )
             elif self.engine == "impact" and self.mesh is None:
                 from .block_max import ImpactOrderedIndex

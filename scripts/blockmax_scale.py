@@ -34,6 +34,7 @@ from lightretriever_tpu.retriever.block_max import (
     ImpactOrderedIndex,
 )
 from lightretriever_tpu.retriever.sparse_scorer import SparseImpactIndex
+from lightretriever_tpu.retriever.tiered_impact import TieredImpactIndex
 
 
 _TOPIC_POOL = 24   # terms per topic vocabulary
@@ -74,6 +75,8 @@ def main():
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--probe", type=int, default=64)
+    ap.add_argument("--tiered-only", action="store_true",
+                    help="skip the slow round-2 pruned engines")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -120,11 +123,13 @@ def main():
             }
             print(f"n={n} {name}: {json.dumps(rows[n][name])}", flush=True)
 
-        run("blockmax", BlockMaxImpactIndex(
-            vocab_size=args.vocab, block_docs=128, probe_blocks=args.probe))
-        for cap in (256, 1024):
-            run(f"impact cap={cap}", ImpactOrderedIndex(
-                vocab_size=args.vocab, postings_cap=cap))
+        run("tiered (exact)", TieredImpactIndex(vocab_size=args.vocab))
+        if not args.tiered_only:
+            run("blockmax", BlockMaxImpactIndex(
+                vocab_size=args.vocab, block_docs=128, probe_blocks=args.probe))
+            for cap in (256, 1024):
+                run(f"impact cap={cap}", ImpactOrderedIndex(
+                    vocab_size=args.vocab, postings_cap=cap))
         del d_vecs
 
     print(json.dumps({"probe": args.probe, "k": args.k, "rows": rows}))

@@ -224,7 +224,23 @@ def run_real_step(n_layers: int, b_q: int, n_psg: int, s: int) -> None:
         return {"input_ids": rng.integers(3, cfg.vocab_size, (n, sl)).astype(np.int32),
                 "attention_mask": np.ones((n, sl), np.int32)}
 
-    batch = {"query": mk(b_q, 64), "passage": mk(b_q * n_psg, s),
+    query = mk(b_q, 64)
+    # blocked nonctx layout for the emb_reps path: [tok][eos] blocks, no
+    # prompt (training/data.py:tokenize_nonctx_query contract)
+    n_blk = 32
+    ids = np.empty((b_q, 2 * n_blk), np.int32)
+    ids[:, 0::2] = rng.integers(3, cfg.vocab_size, (b_q, n_blk))
+    ids[:, 1::2] = 128001
+    query.update({
+        "nonctx_input_ids": ids,
+        "nonctx_segment_ids": np.tile(np.repeat(np.arange(1, n_blk + 1), 2),
+                                      (b_q, 1)).astype(np.int32),
+        "nonctx_position_ids": np.tile(np.tile([0, 1], n_blk),
+                                       (b_q, 1)).astype(np.int32),
+        "nonctx_attention_mask_2d": np.ones((b_q, 2 * n_blk), np.int32),
+        "nonctx_prompt_len": 0,
+    })
+    batch = {"query": query, "passage": mk(b_q * n_psg, s),
              "only_hn": np.zeros(b_q, bool)}
     t0 = time.perf_counter()
     logs = trainer.training_step(batch)

@@ -155,6 +155,10 @@ def main():
                  BlockMaxImpactIndex(vocab_size=vocab, block_docs=128,
                                      probe_blocks=probe))
 
+    from lightretriever_tpu.retriever.tiered_impact import TieredImpactIndex
+
+    run_fast("tiered (exact)", TieredImpactIndex(vocab_size=vocab))
+
     # --- dense ANN engines on the SAME real embeddings -----------------------
     # (the IVF-vs-approx question is geometry-dependent; synthetic corpora
     # answer it unfairly — scripts/ann_frontier.py discussion)
