@@ -199,6 +199,7 @@ class TieredImpactIndex:
         n_candidates: int = 1024,
         quantization_factor: int = 100,
         scan_chunk: int = 65536,
+        q_block: int = 64,
         mesh=None,  # factory-signature parity; single-device engine
         **_,
     ):
@@ -208,6 +209,7 @@ class TieredImpactIndex:
         self.n_candidates = n_candidates
         self.quantization_factor = quantization_factor
         self.scan_chunk = scan_chunk
+        self.q_block = q_block
         # bounds the [Qb, E] sort + [Qb, C, H] gather buffers
         self.query_block_budget_bytes = 1 << 30
         self._vecs: list[SparseVec] = []
@@ -314,7 +316,14 @@ class TieredImpactIndex:
         return list(queries)
 
     def search(self, queries, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Exact top-k impact search; queries as [Q, V] dense or dicts."""
+        """Exact top-k impact search; queries as [Q, V] dense or dicts.
+
+        Blocks of ``q_block`` queries are grouped by cost profile (which
+        buckets they touch), so a block only pays for the postings widths
+        its queries actually use; empty buckets are skipped entirely. All
+        blocks of a round are dispatched before any result is fetched, so
+        the host<->device round trips pipeline instead of serializing.
+        """
         self._finalize()
         qd = self._query_dicts(queries)
         n_q = len(qd)
@@ -325,7 +334,7 @@ class TieredImpactIndex:
         # host-side query split: rare terms -> (bucket,row,weight), heavy ->
         # dense [Q, H]
         per_bucket: list[list[list[tuple[int, float]]]] = [
-            [[] for _ in range(n_q)] for _ in range(nb)]
+            [[] for _ in range(nb)] for _ in range(n_q)]
         q_heavy = np.zeros((n_q, max(self._h, 1)), np.float32)
         ub_heavy = np.zeros(n_q, np.float32)
         for i, vec in enumerate(qd):
@@ -343,100 +352,139 @@ class TieredImpactIndex:
                     continue
                 b = self._bucket_of[t]
                 if b >= 0:
-                    per_bucket[b][i].append((self._row_of[t], x))
-        t_caps = tuple(
-            _next_pow2(max(max((len(b[i]) for i in range(n_q)), default=1), 1))
-            for b in per_bucket)
-        # longest possible equal-doc run = total rare query terms
-        run_window = int(sum(t_caps))
-        q_rows = [np.full((n_q, tc), -1, np.int32) for tc in t_caps]
-        q_wts = [np.zeros((n_q, tc), np.float32) for tc in t_caps]
-        for b in range(nb):
-            for i in range(n_q):
-                for j, (r, x) in enumerate(per_bucket[b][i][: t_caps[b]]):
-                    q_rows[b][i, j] = r
-                    q_wts[b][i, j] = x
+                    per_bucket[i][b].append((self._row_of[t], x))
 
-        e = sum(tc * w for tc, w in zip(t_caps, self._widths))
-        c0 = min(_next_pow2(self.n_candidates), _next_pow2(e))
-        # block queries so sort + gather buffers stay bounded
-        per_q = e * 16 + c0 * max(self._h, 1) * 4
-        q_block = max(int(self.query_block_budget_bytes / max(per_q, 1)), 4)
+        # group queries by cost (widest bucket touched, then total postings)
+        # so blocks are homogeneous and cheap queries never pay wide-bucket
+        # sort widths
+        cost = np.array([
+            sum(len(bl) * w for bl, w in zip(per_bucket[i], self._widths))
+            for i in range(n_q)], np.int64)
+        order = np.argsort(cost, kind="stable")
 
         out_s = np.full((n_q, k_eff), -np.inf, np.float32)
         out_i = np.full((n_q, k_eff), -1, np.int64)
         certified = np.zeros(n_q, bool)
         scan_needed = np.zeros(n_q, bool)
         retried = np.zeros(n_q, bool)
+        scan_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        c0 = _next_pow2(max(self.n_candidates, k_eff))
 
-        scan_s = scan_i = None
-        for lo in range(0, n_q, q_block):
-            hi = min(lo + q_block, n_q)
-            sl = slice(lo, hi)
-            pending = np.arange(lo, hi)
-            c = c0
-            while len(pending):
-                rel = pending - lo
-                s, ids, rare_c1, n_ends = _tiered_candidates(
-                    tuple(jnp.asarray(q_rows[b][pending]) for b in range(nb)),
-                    tuple(jnp.asarray(q_wts[b][pending]) for b in range(nb)),
-                    tuple(self._tabs_d),
-                    tuple(self._tabs_v),
-                    jnp.asarray(q_heavy[pending]) if self._h
-                    else jnp.zeros((len(pending), 0), jnp.float32),
+        qb = self.q_block
+        work = [(order[lo: lo + qb], c0) for lo in range(0, n_q, qb)]
+        while work:
+            # ---- phase A: dispatch every pending block (pipelined) --------
+            handles = []
+            for g_idx, c in work:
+                used = [b for b in range(nb)
+                        if any(per_bucket[i][b] for i in g_idx)]
+                t_caps = tuple(
+                    _next_pow2(max(len(per_bucket[i][b]) for i in g_idx))
+                    for b in used)
+                e = sum(tc * self._widths[b] for tc, b in zip(t_caps, used))
+                if e == 0:        # heavy-only / empty queries: scan covers
+                    handles.append((g_idx, c, 0, None))
+                    continue
+                n_blk = len(g_idx)
+                n_pad = _next_pow2(max(n_blk, min(qb, 8)))
+                rows = [np.full((n_pad, tc), -1, np.int32) for tc in t_caps]
+                wts = [np.zeros((n_pad, tc), np.float32) for tc in t_caps]
+                for bi, b in enumerate(used):
+                    for r_i, g in enumerate(g_idx):
+                        for j, (r, x) in enumerate(
+                                per_bucket[g][b][: t_caps[bi]]):
+                            rows[bi][r_i, j] = r
+                            wts[bi][r_i, j] = x
+                qh = np.zeros((n_pad, max(self._h, 1)), np.float32)
+                qh[:n_blk] = q_heavy[g_idx]
+                c_eff = min(c, _next_pow2(e))
+                h = _tiered_candidates(
+                    tuple(jnp.asarray(r) for r in rows),
+                    tuple(jnp.asarray(w) for w in wts),
+                    tuple(self._tabs_d[b] for b in used),
+                    tuple(self._tabs_v[b] for b in used),
+                    jnp.asarray(qh) if self._h
+                    else jnp.zeros((n_pad, 0), jnp.float32),
                     self._d_heavy if self._h
                     else jnp.zeros((1, 0), jnp.float32),
-                    run_window=run_window, n_cand=c, k=k_eff)
-                s, ids, rare_c1, n_ends = jax.device_get(
-                    (s, ids, rare_c1, n_ends))
-                s = np.array(s, np.float32)
-                ids = np.array(ids, np.int64)
+                    run_window=int(sum(t_caps)), n_cand=c_eff, k=k_eff)
+                handles.append((g_idx, c_eff, e, h))
+
+            # ---- phase B: fetch, certify, collect scans + retries ---------
+            need_scan: list[int] = []
+            staged = []
+            for g_idx, c, e, h in handles:
+                if h is None:
+                    s = np.full((len(g_idx), k_eff), -np.inf, np.float32)
+                    ids = np.full((len(g_idx), k_eff), -1, np.int64)
+                    rare_c1 = np.full(len(g_idx), -np.inf, np.float32)
+                    n_ends = np.zeros(len(g_idx), np.int64)
+                else:
+                    s, ids, rare_c1, n_ends = jax.device_get(h)
+                    s = np.array(s[: len(g_idx)], np.float32)
+                    ids = np.array(ids[: len(g_idx)], np.int64)
+                    rare_c1 = np.asarray(rare_c1[: len(g_idx)])
+                    n_ends = np.asarray(n_ends[: len(g_idx)])
                 if s.shape[1] < k_eff:   # n_cand < k: pad to k columns
                     pad = k_eff - s.shape[1]
                     s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
                     ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-
-                # merge with the heavy-only scan for queries that need it:
-                # the MaxScore certificate skips it when the k-th candidate
-                # already beats every possible heavy-only score.
+                staged.append((g_idx, c, e, s, ids, rare_c1, n_ends))
                 if self._h:
-                    kth = s[:, k_eff - 1] if s.shape[1] >= k_eff else \
-                        np.full(len(pending), -np.inf)
-                    kth = np.where(np.isfinite(kth), kth, -np.inf)
-                    need = kth < ub_heavy[pending]
-                    scan_needed[pending] |= need
-                    if need.any():
-                        if scan_s is None:
-                            ss, si = _heavy_scan(
-                                jnp.asarray(q_heavy[sl]), self._d_heavy,
-                                n, k=k_eff, chunk=min(self.scan_chunk,
-                                                      self._d_heavy.shape[0]))
-                            scan_s, scan_i = jax.device_get((ss, si))
-                        for row, gq in zip(np.flatnonzero(need),
-                                           pending[need] - lo):
-                            s[row], ids[row] = _merge_prefer_first(
-                                s[row], ids[row],
-                                np.asarray(scan_s[gq], np.float32),
-                                np.asarray(scan_i[gq], np.int64), k_eff)
+                    kth = np.where(np.isfinite(s[:, k_eff - 1]),
+                                   s[:, k_eff - 1], -np.inf)
+                    need = kth < ub_heavy[g_idx]
+                    scan_needed[g_idx] |= need
+                    need_scan.extend(
+                        int(g) for g in g_idx[need] if g not in scan_cache)
 
-                # compaction certificate: k-th final score must beat the best
-                # possible score of any candidate we dropped
+            if need_scan:
+                # one batched heavy-only scan for every query that needs it
+                gs = np.asarray(sorted(set(need_scan)), np.int64)
+                n_pad = _next_pow2(len(gs))
+                qh = np.zeros((n_pad, self._h), np.float32)
+                qh[: len(gs)] = q_heavy[gs]
+                ss, si = jax.device_get(_heavy_scan(
+                    jnp.asarray(qh), self._d_heavy, n, k=k_eff,
+                    chunk=min(self.scan_chunk, self._d_heavy.shape[0])))
+                for j, g in enumerate(gs):
+                    scan_cache[int(g)] = (np.asarray(ss[j], np.float32),
+                                          np.asarray(si[j], np.int64))
+
+            work = []
+            retry: list[tuple[int, int]] = []   # (global idx, next c)
+            for g_idx, c, e, s, ids, rare_c1, n_ends in staged:
+                if self._h:
+                    kth = np.where(np.isfinite(s[:, k_eff - 1]),
+                                   s[:, k_eff - 1], -np.inf)
+                    for row in np.flatnonzero(kth < ub_heavy[g_idx]):
+                        cs, ci = scan_cache[int(g_idx[row])]
+                        s[row], ids[row] = _merge_prefer_first(
+                            s[row], ids[row], cs, ci, k_eff)
+                # compaction certificate: k-th final score must beat the
+                # best possible score of any candidate we dropped
                 kth = s[:, k_eff - 1]
-                bound = rare_c1 + ub_heavy[pending]
-                exact = (n_ends <= c) | (kth >= bound) | ~np.isfinite(bound)
-                done = pending[exact]
+                bound = rare_c1 + ub_heavy[g_idx]
+                exact = ((n_ends <= c) | (kth >= bound)
+                         | ~np.isfinite(bound) | (c >= e))
+                done = g_idx[exact]
                 out_s[done], out_i[done] = s[exact], ids[exact]
                 certified[done] = True
-                not_exact = ~exact
-                if c >= e:   # every candidate included: unconditionally exact
-                    done = pending[not_exact]
-                    out_s[done], out_i[done] = s[not_exact], ids[not_exact]
-                    certified[done] = True
-                    break
-                pending = pending[not_exact]
-                retried[pending] = True
-                c = min(c * 4, _next_pow2(e))
-            scan_s = scan_i = None
+                for g in g_idx[~exact]:
+                    retried[g] = True
+                    retry.append((int(g), min(c * 4, _next_pow2(max(e, 1)))))
+            if retry:
+                # regroup retries by their new candidate width
+                by_c: dict[int, list[int]] = {}
+                for g, c in retry:
+                    by_c.setdefault(c, []).append(g)
+                for c, gl in by_c.items():
+                    # larger C -> smaller blocks to bound the [Q, C, H] gather
+                    qb_c = max(self.query_block_budget_bytes
+                               // max(c * max(self._h, 1) * 4, 1), 1)
+                    qb_c = min(qb, max(int(qb_c), 1))
+                    for lo in range(0, len(gl), qb_c):
+                        work.append((np.asarray(gl[lo: lo + qb_c]), c))
 
         self.last_certified = certified
         self.last_certified_frac = float(certified.mean())

@@ -105,7 +105,7 @@ def main():
             t0 = time.perf_counter()
             idx._finalize()
             t_build = time.perf_counter() - t0
-            idx.search(q_vecs[:8], args.k)      # compile
+            idx.search(q_vecs, args.k)      # compile at the measured shapes
             t0 = time.perf_counter()
             _, i_f = idx.search(q_vecs, args.k)
             t_f = time.perf_counter() - t0

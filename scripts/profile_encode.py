@@ -100,11 +100,17 @@ def main():
 
     ids_dev = jax.device_put(ids_host[0])
     mask_dev = jax.device_put(maskh)
-    # 1. device-only ceiling: N forwards inside one jit call
-    fwd_chain(params, ids_dev, mask_dev, 2).block_until_ready()
-    t0 = time.perf_counter()
+    # 1. device-only ceiling: N forwards inside one jit call. Warm with the
+    # SAME static length — warming with a different n left the timed call
+    # paying a full recompile (this bug made round-3's first fused run report
+    # 19% "device-only" MFU under a 52% staged number).
     float(fwd_chain(params, ids_dev, mask_dev, args.iters))
-    t_dev = (time.perf_counter() - t0) / args.iters
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fwd_chain(params, ids_dev, mask_dev, args.iters))
+        times.append((time.perf_counter() - t0) / args.iters)
+    t_dev = float(np.median(times))
     report("device-only forward", t_dev, tokens, flops_per_tok)
 
     # 2. +H2D staging: fresh host batch each iter, pipelined dispatch
