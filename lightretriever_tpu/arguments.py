@@ -367,6 +367,10 @@ class EvalArguments(InferenceArguments):
     task_names: tuple[str, ...] = ()
     task_langs: tuple[str, ...] = ("en",)
     corpus_chunk_size: int = 100_000
+    # Dense engine for EncoderModel search: any knn.py INDEX_REGISTRY key
+    # (flat | sq | binary | pca | ivf | pq | hnsw | hnsw_sq). The reference
+    # hardcodes FlatIP in eval_utils.py:61-67; "flat" keeps that default.
+    index_type: str = "flat"
     top_k: int = 1000
     k_values: tuple[int, ...] = (1, 3, 5, 10, 100, 1000)
     fuse_weights: tuple[float, ...] = (0.7, 0.3)

@@ -104,7 +104,10 @@ def init_searcher(encoder, eval_args, mesh=None, vocab_size: Optional[int] = Non
             quantization_factor=getattr(eval_args, "quantization_factor", 100),
             **common,
         )
-    return DenseRetrievalSearch(encoder, index_type="flat", **common)
+    # the reference's eval path hardcodes FlatIP (eval_utils.py:61-67); we
+    # default the same but allow any INDEX_REGISTRY engine (e.g. "hnsw")
+    return DenseRetrievalSearch(
+        encoder, index_type=getattr(eval_args, "index_type", "flat"), **common)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,42 @@ def native_sparse_convert(reps, quantization_factor: int, pseudo_text: bool):
     return lines
 
 
+_HNSW_LIB: Optional[ctypes.CDLL] = None
+_HNSW_TRIED = False
+
+
+def get_hnsw_lib() -> Optional[ctypes.CDLL]:
+    """Load the from-scratch HNSW graph engine (hnsw.cpp), or None if the
+    toolchain is unavailable (callers fall back to exact flat search)."""
+    global _HNSW_LIB, _HNSW_TRIED
+    if _HNSW_LIB is not None or _HNSW_TRIED:
+        return _HNSW_LIB
+    _HNSW_TRIED = True
+    so = _build_lib("hnsw.cpp")
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.lr_hnsw_build.restype = ctypes.c_void_p
+    lib.lr_hnsw_build.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+    ]
+    lib.lr_hnsw_size.restype = ctypes.c_int64
+    lib.lr_hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.lr_hnsw_search.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.lr_hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.lr_hnsw_save.restype = ctypes.c_int32
+    lib.lr_hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.lr_hnsw_load.restype = ctypes.c_void_p
+    lib.lr_hnsw_load.argtypes = [ctypes.c_char_p]
+    _HNSW_LIB = lib
+    return _HNSW_LIB
+
+
 def get_icu_lib() -> Optional[ctypes.CDLL]:
     """Load the ICU4C word-segmenter wrapper (icu_segmenter.cpp), or None if
     the toolchain or the system ICU runtime is unavailable."""

@@ -480,6 +480,18 @@ def _pq_factory(**kwargs):
     return PQIndex(**kwargs)
 
 
+def _hnsw_factory(**kwargs):
+    from .hnsw import HNSWIndex
+
+    return HNSWIndex(**kwargs)
+
+
+def _hnsw_sq_factory(**kwargs):
+    from .hnsw import HNSWSQIndex
+
+    return HNSWSQIndex(**kwargs)
+
+
 INDEX_REGISTRY = {
     "flat": FlatIPIndex,
     "sq": SQIndex,
@@ -487,4 +499,6 @@ INDEX_REGISTRY = {
     "pca": PCAIndex,
     "ivf": _ivf_factory,
     "pq": _pq_factory,
+    "hnsw": _hnsw_factory,
+    "hnsw_sq": _hnsw_sq_factory,
 }

@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--q", type=int, default=2048)
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--d", type=int, default=1024)
+    ap.add_argument("--skip-hnsw", action="store_true")
+    ap.add_argument("--hnsw-docs", type=int, default=100_000,
+                    help="HNSW corpus cap (single-threaded host build)")
     args = ap.parse_args()
     if jax.default_backend() != "tpu":
         args.n, args.q = 100_000, 256
@@ -120,6 +123,32 @@ def main():
         rows.append((f"IVF C={n_clusters} nprobe={nprobe}", args.q / t, r,
                      "k-means coarse quantizer"))
         print(f"ivf nprobe={nprobe}: {args.q / t:.0f} QPS r={r:.4f}", flush=True)
+
+    # --- HNSW (native host graph; optional — build is host-CPU bound) -----------
+    if not args.skip_hnsw:
+        from lightretriever_tpu.retriever.hnsw import HNSWIndex
+
+        n_h = min(args.n, args.hnsw_docs)
+        hnsw = HNSWIndex(hnsw_store_n=32, hnsw_ef_construction=100)
+        hnsw.add(corpus[:n_h])
+        hnsw._finalize()
+        if n_h == args.n:
+            i_ref_h = i_ref
+        else:  # ground truth on the subset
+            sub = FlatIPIndex(mesh=None, dtype=jnp.bfloat16, topk_method="exact")
+            sub.add(corpus[:n_h])
+            sub.search(queries[:8], args.k)
+            _, i_ref_h, _ = timed_pipelined(sub, q_dev, args.k, 1)
+        for ef in (64, 128, 512):
+            (s, i), t = timed_single(
+                lambda ef_=ef: hnsw.search(queries, args.k, ef_search=ef_),
+                n_iter=1)
+            r = recall_vs(i_ref_h, i, args.k)
+            rows.append((f"HNSW M=32 ef={ef} (n={n_h}, host CPU)",
+                         args.q / t, r,
+                         f"native graph walk; build {hnsw.build_seconds:.0f}s"))
+            print(f"hnsw ef={ef} (n={n_h}): {args.q / t:.0f} QPS r={r:.4f}",
+                  flush=True)
 
     # --- PQ ± rerank -------------------------------------------------------------
     pq = PQIndex(n_subspaces=32, keep_fp=True)
