@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--d", type=int, default=1024)
     ap.add_argument("--skip-hnsw", action="store_true")
+    ap.add_argument("--only-hnsw", action="store_true",
+                    help="exact ground truth + HNSW rows only (skip "
+                         "approx/IVF/PQ — they have 1M rows already)")
     ap.add_argument("--hnsw-docs", type=int, default=100_000,
                     help="HNSW corpus cap (single-threaded host build)")
     args = ap.parse_args()
@@ -99,7 +102,8 @@ def main():
     print(f"exact: {args.q / t:.0f} QPS", flush=True)
 
     # --- approx_max_k frontier -------------------------------------------------
-    for rt, ov in [(0.99, 1), (0.99, 2), (0.95, 1), (0.95, 4), (0.9, 1)]:
+    for rt, ov in [] if args.only_hnsw else \
+            [(0.99, 1), (0.99, 2), (0.95, 1), (0.95, 4), (0.9, 1)]:
         idx = FlatIPIndex(mesh=None, dtype=jnp.bfloat16, topk_method="approx",
                           recall_target=rt, oversample=ov)
         idx._host_chunks, idx._n = idx_exact._host_chunks, idx_exact._n
@@ -110,19 +114,21 @@ def main():
         print(f"approx rt={rt} ov={ov}: {args.q / t:.0f} QPS r={r:.4f}", flush=True)
 
     # --- IVF nprobe sweep --------------------------------------------------------
-    n_clusters = max(int(np.sqrt(args.n)) * 2, 64)
-    ivf = IVFIndex(n_clusters=n_clusters, dtype=jnp.bfloat16, query_chunk=256)
-    ivf.add(corpus)
-    ivf._finalize()
-    for nprobe in (4, 8, 16, 32, 64):
-        if nprobe > n_clusters:
-            continue
-        (s, i), t = timed_single(
-            lambda np_=nprobe: ivf.search(queries, args.k, nprobe=np_))
-        r = recall_vs(i_ref, i, args.k)
-        rows.append((f"IVF C={n_clusters} nprobe={nprobe}", args.q / t, r,
-                     "k-means coarse quantizer"))
-        print(f"ivf nprobe={nprobe}: {args.q / t:.0f} QPS r={r:.4f}", flush=True)
+    if not args.only_hnsw:
+        n_clusters = max(int(np.sqrt(args.n)) * 2, 64)
+        ivf = IVFIndex(n_clusters=n_clusters, dtype=jnp.bfloat16, query_chunk=256)
+        ivf.add(corpus)
+        ivf._finalize()
+        for nprobe in (4, 8, 16, 32, 64):
+            if nprobe > n_clusters:
+                continue
+            (s, i), t = timed_single(
+                lambda np_=nprobe: ivf.search(queries, args.k, nprobe=np_))
+            r = recall_vs(i_ref, i, args.k)
+            rows.append((f"IVF C={n_clusters} nprobe={nprobe}", args.q / t, r,
+                         "k-means coarse quantizer"))
+            print(f"ivf nprobe={nprobe}: {args.q / t:.0f} QPS r={r:.4f}",
+                  flush=True)
 
     # --- HNSW (native host graph; optional — build is host-CPU bound) -----------
     if not args.skip_hnsw:

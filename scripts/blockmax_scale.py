@@ -70,6 +70,8 @@ def gen_vecs(rng, n, vocab, nnz, pools, heavy):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-docs", type=int, default=1_000_000)
+    ap.add_argument("--sizes", type=str, default=None,
+                    help="comma-separated corpus sizes (overrides the default ladder)")
     ap.add_argument("--vocab", type=int, default=32768)
     ap.add_argument("--nnz", type=int, default=48)
     ap.add_argument("--queries", type=int, default=256)
@@ -80,7 +82,10 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    sizes = [s for s in (100_000, 300_000, 1_000_000) if s <= args.max_docs]
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
+    else:
+        sizes = [s for s in (100_000, 300_000, 1_000_000) if s <= args.max_docs]
     pools = _topic_terms(args.vocab, 2000, rng)
     q_vecs = gen_vecs(rng, args.queries, args.vocab, 8, pools, heavy=4)
     rows = {}

@@ -158,12 +158,16 @@ def main():
 
     # --- tokenizer over the real corpus (or the pretrained trunk's) ---------
     t0 = time.perf_counter()
+    tok_dir = os.path.join(args.out, "tokenizer")
     if args.init_trunk:
         from transformers import PreTrainedTokenizerFast
 
         tok = PreTrainedTokenizerFast.from_pretrained(args.init_trunk)
+        # Downstream consumers (sparse_engine_real_check, rerank_study)
+        # load the tokenizer from <out>/tokenizer — persist it there too.
+        if not os.path.exists(os.path.join(tok_dir, "tokenizer.json")):
+            tok.save_pretrained(tok_dir)
     else:
-        tok_dir = os.path.join(args.out, "tokenizer")
         if os.path.exists(os.path.join(tok_dir, "tokenizer.json")):
             from transformers import PreTrainedTokenizerFast
 
