@@ -69,8 +69,8 @@ def main():
     ap.add_argument("--hnsw-docs", type=int, default=100_000,
                     help="HNSW corpus cap (single-threaded host build)")
     args = ap.parse_args()
-    if jax.default_backend() != "tpu":
-        args.n, args.q = 100_000, 256
+    if jax.default_backend() != "tpu":  # cap, don't override explicit values
+        args.n, args.q = min(args.n, 100_000), min(args.q, 256)
 
     rng = np.random.default_rng(0)
     # Clustered corpus (not iid gaussian): IVF/graph methods live off cluster
@@ -157,17 +157,8 @@ def main():
                   flush=True)
 
     # --- PQ ± rerank -------------------------------------------------------------
-    pq = PQIndex(n_subspaces=32, keep_fp=True)
-    pq.add(corpus)
-    pq._finalize()
-    for rerank in (False, True):
-        (s, i), t = timed_single(
-            lambda rr=rerank: pq.search(queries, args.k, rerank_with_fp=rr),
-            n_iter=2)
-        r = recall_vs(i_ref, i, args.k)
-        rows.append((f"PQ m=32 rerank={rerank}", args.q / t, r,
-                     "32 B/doc ADC-as-GEMM"))
-        print(f"pq rerank={rerank}: {args.q / t:.0f} QPS r={r:.4f}", flush=True)
+    if not args.only_hnsw:
+        _pq_rows(args, rows, corpus, queries, i_ref)
 
     print(f"\n| Engine | QPS | recall@{args.k} | notes |")
     print("|---|---|---|---|")
@@ -179,6 +170,20 @@ def main():
         "rows": [{"engine": n, "qps": round(q, 1), "recall": round(r, 4)}
                  for n, q, r, _ in rows],
     }))
+
+
+def _pq_rows(args, rows, corpus, queries, i_ref):
+    pq = PQIndex(n_subspaces=32, keep_fp=True)
+    pq.add(corpus)
+    pq._finalize()
+    for rerank in (False, True):
+        (s, i), t = timed_single(
+            lambda rr=rerank: pq.search(queries, args.k, rerank_with_fp=rr),
+            n_iter=2)
+        r = recall_vs(i_ref, i, args.k)
+        rows.append((f"PQ m=32 rerank={rerank}", args.q / t, r,
+                     "32 B/doc ADC-as-GEMM"))
+        print(f"pq rerank={rerank}: {args.q / t:.0f} QPS r={r:.4f}", flush=True)
 
 
 if __name__ == "__main__":
