@@ -329,7 +329,9 @@ def main():
         neural = out["results"]
         fusion_sweep = {}
         if isinstance(neural, dict):
-            for name in ("den", "emb", "spr", "tok"):
+            # Sweep the fused neural systems too: den_spr+BM25 stacks the
+            # strongest neural ranker on the lexical one (3-way in effect).
+            for name in ("den", "emb", "spr", "tok", "den_spr", "emb_tok"):
                 if name not in neural:
                     continue
                 best_w, best_ndcg = None, -1.0
@@ -388,9 +390,22 @@ def main():
         for d, m in mrl_sweep.items():
             print(f"| {d} | {m['NDCG@10']:.4f} | {m['Recall@100']:.4f} |")
 
+    # --- persist raw per-system predictions for offline fusion studies ----------
+    try:
+        import gzip
+
+        preds = dict(out["results"]) if isinstance(out["results"], dict) else {}
+        if not args.skip_bm25:
+            preds["bm25"] = out_bm["results"]
+        with gzip.open(os.path.join(args.out, "predictions.json.gz"),
+                       "wt") as f:
+            json.dump(preds, f)
+    except Exception as e:  # predictions are a bonus artifact, never fatal
+        print(f"prediction save skipped: {e}", flush=True)
+
     # --- report -----------------------------------------------------------------
     order = ["bm25", "den", "spr", "emb", "tok", "den_spr", "emb_tok"]
-    for name in ("den", "emb", "spr", "tok"):
+    for name in ("den", "emb", "spr", "tok", "den_spr", "emb_tok"):
         order += [f"{name}_bm25_lin", f"{name}_bm25_lin70", f"{name}_bm25_rrf"]
     print("\n| System | NDCG@10 | Recall@100 | NDCG@1 | MRR@10 |")
     print("|---|---|---|---|---|")
