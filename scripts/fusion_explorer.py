@@ -85,18 +85,18 @@ def main():
         m = _score(qrels, preds[s], (1, 10, 100))
         report["singles"][s] = {k: round(v, 4) for k, v in m.items()}
 
-    # --- 2-way fine sweeps vs bm25 -------------------------------------------
+    # --- 2-way fine sweeps: each system vs bm25, plus the pure-neural pairs ---
+    grid = [round(w, 2) for w in np.arange(0.05, 1.0, 0.05)]
+    pair_list = []
     if "bm25" in preds:
-        for s in systems:
-            if s == "bm25":
-                continue
-            grid = [round(w, 2) for w in np.arange(0.05, 1.0, 0.05)]
-            best_w = max(grid, key=lambda w: score_combo((s, "bm25"), [w, 1 - w]))
-            report["pairs"][f"{s}+bm25"] = full_row((s, "bm25"),
-                                                    [best_w, 1 - best_w])
-            report["rrf"][f"{s}+bm25"] = _score(
-                qrels, fuse([preds[s], preds["bm25"]], method="rrf"),
-                (10, 100))
+        pair_list += [(s, "bm25") for s in systems if s != "bm25"]
+    pair_list += [p for p in (("den", "spr"), ("emb", "tok"), ("den", "emb"))
+                  if all(m in preds for m in p)]
+    for pair in pair_list:
+        best_w = max(grid, key=lambda w: score_combo(pair, [w, 1 - w]))
+        report["pairs"]["+".join(pair)] = full_row(pair, [best_w, 1 - best_w])
+        report["rrf"]["+".join(pair)] = _score(
+            qrels, fuse([preds[m] for m in pair], method="rrf"), (10, 100))
 
     # --- 3-way simplex grids ---------------------------------------------------
     for members in (("den", "spr", "bm25"), ("den", "emb", "bm25"),

@@ -92,8 +92,13 @@ def main():
 
     @partial(jax.jit, static_argnums=(3,))
     def fwd_chain(params, ids, mask, n: int):
+        # Each iteration's input must depend on the carry: with a loop-
+        # invariant body XLA hoists the forward out of the scan and the
+        # "chain" times ONE forward (observed: a 684%-of-peak reading).
         def body(carry, _):
-            out = fwd(params, ids, mask)
+            delta = (carry.astype(jnp.int32) & 1)
+            ids_i = jnp.minimum(ids + delta, args.vocab - 1)
+            out = fwd(params, ids_i, mask)
             return carry + out.astype(jnp.float32).sum(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return acc
