@@ -218,6 +218,10 @@ class TieredImpactIndex:
         self.last_certified_frac: Optional[float] = None
         self.last_scan_frac: Optional[float] = None   # queries that needed the scan
         self.last_retry_frac: Optional[float] = None  # queries that needed C growth
+        # phase breakdown of the last search() call (seconds / counts) — the
+        # engine is often host-RTT-bound under a remote attachment, and this
+        # is how you find out (scripts/profile_tiered.py)
+        self.last_timing: dict = {}
 
     def __len__(self) -> int:
         return len(self._vecs)
@@ -325,6 +329,7 @@ class TieredImpactIndex:
         the host<->device round trips pipeline instead of serializing.
         """
         self._finalize()
+        t_start = time.perf_counter()
         qd = self._query_dicts(queries)
         n_q = len(qd)
         n = len(self._vecs)
@@ -370,9 +375,16 @@ class TieredImpactIndex:
         scan_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         c0 = _next_pow2(max(self.n_candidates, k_eff))
 
+        timing = {"prep_s": time.perf_counter() - t_start, "dispatch_s": 0.0,
+                  "fetch_s": 0.0, "scan_s": 0.0, "host_s": 0.0,
+                  "rounds": 0, "blocks": 0, "scan_calls": 0}
+        shapes_seen: set = set()
+
         qb = self.q_block
         work = [(order[lo: lo + qb], c0) for lo in range(0, n_q, qb)]
         while work:
+            timing["rounds"] += 1
+            t_a = time.perf_counter()
             # ---- phase A: dispatch every pending block (pipelined) --------
             handles = []
             for g_idx, c in work:
@@ -409,8 +421,18 @@ class TieredImpactIndex:
                     else jnp.zeros((1, 0), jnp.float32),
                     run_window=int(sum(t_caps)), n_cand=c_eff, k=k_eff)
                 handles.append((g_idx, c_eff, e, h))
+                shapes_seen.add((tuple(used), t_caps, n_pad, c_eff))
+            timing["blocks"] += len(handles)
+            # start every block's D2H copy before blocking on any one of
+            # them: device_get alone fetches serially, one RTT per block
+            for *_, h in handles:
+                if h is not None:
+                    for arr in h:
+                        arr.copy_to_host_async()
+            timing["dispatch_s"] += time.perf_counter() - t_a
 
             # ---- phase B: fetch, certify, collect scans + retries ---------
+            t_b = time.perf_counter()
             need_scan: list[int] = []
             staged = []
             for g_idx, c, e, h in handles:
@@ -437,7 +459,9 @@ class TieredImpactIndex:
                     scan_needed[g_idx] |= need
                     need_scan.extend(
                         int(g) for g in g_idx[need] if g not in scan_cache)
+            timing["fetch_s"] += time.perf_counter() - t_b
 
+            t_s = time.perf_counter()
             if need_scan:
                 # one batched heavy-only scan for every query that needs it
                 gs = np.asarray(sorted(set(need_scan)), np.int64)
@@ -450,7 +474,10 @@ class TieredImpactIndex:
                 for j, g in enumerate(gs):
                     scan_cache[int(g)] = (np.asarray(ss[j], np.float32),
                                           np.asarray(si[j], np.int64))
+                timing["scan_calls"] += 1
+            timing["scan_s"] += time.perf_counter() - t_s
 
+            t_c = time.perf_counter()
             work = []
             retry: list[tuple[int, int]] = []   # (global idx, next c)
             for g_idx, c, e, s, ids, rare_c1, n_ends in staged:
@@ -485,7 +512,11 @@ class TieredImpactIndex:
                     qb_c = min(qb, max(int(qb_c), 1))
                     for lo in range(0, len(gl), qb_c):
                         work.append((np.asarray(gl[lo: lo + qb_c]), c))
+            timing["host_s"] += time.perf_counter() - t_c
 
+        timing["total_s"] = time.perf_counter() - t_start
+        timing["distinct_shapes"] = len(shapes_seen)
+        self.last_timing = timing
         self.last_certified = certified
         self.last_certified_frac = float(certified.mean())
         self.last_scan_frac = float(scan_needed.mean())
