@@ -48,6 +48,15 @@ def _serve_kernel(table, ids, mask, corpus, valid, k: int,
     return jax.lax.top_k(scores, k)
 
 
+def _name_ids(doc_ids, i) -> np.ndarray:
+    """Map engine row indices to external doc ids; -1 no-hit slots become
+    None (not doc_ids[0] — a phantom hit that would poison recall math)."""
+    i = np.asarray(i)
+    named = np.asarray(doc_ids, dtype=object)[np.maximum(i, 0)]
+    named[i < 0] = None
+    return named
+
+
 class AsymmetricDenseServer:
     """Deployable asymmetric-dense retrieval server (one chip or mesh-ready).
 
@@ -96,8 +105,7 @@ class AsymmetricDenseServer:
                              self.normalize, self.mrl_dim, self.topk_method)
         s, i = jax.device_get((s, i))
         if self.doc_ids is not None:
-            named = np.asarray(self.doc_ids, dtype=object)[np.maximum(i, 0)]
-            return np.asarray(s, np.float32), named
+            return np.asarray(s, np.float32), _name_ids(self.doc_ids, i)
         return np.asarray(s, np.float32), np.asarray(i, np.int64)
 
 
@@ -185,8 +193,7 @@ class AsymmetricSparseServer:
             qvecs = [{int(t): float(c) for t, c in Counter(r).items()} for r in enc]
         s, i = self.index.search(qvecs, k)
         if self.doc_ids is not None:
-            named = np.asarray(self.doc_ids, dtype=object)[np.maximum(i, 0)]
-            return np.asarray(s, np.float32), named
+            return np.asarray(s, np.float32), _name_ids(self.doc_ids, i)
         return np.asarray(s, np.float32), np.asarray(i, np.int64)
 
 
@@ -319,9 +326,26 @@ class DynamicBatchingServer:
         to (scores [k], doc_ids [k])."""
         from concurrent.futures import Future
 
+        if self._closed:
+            raise RuntimeError("DynamicBatchingServer is closed")
         fut: Future = Future()
         self._q.put((text, fut))
         return fut
+
+    def _drain_rejected(self):
+        """Fail any futures still queued after shutdown (a request racing
+        close() must error out, not hang its caller forever)."""
+        import queue as _queue
+
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except _queue.Empty:
+                return
+            if item is not None:
+                item[1].set_exception(
+                    RuntimeError("DynamicBatchingServer closed before "
+                                 "this request was served"))
 
     def _loop(self):
         import queue as _queue
@@ -332,6 +356,7 @@ class DynamicBatchingServer:
             except _queue.Empty:
                 continue
             if first is None:
+                self._drain_rejected()
                 return
             items = [first]
             deadline = time.perf_counter() + self.max_wait_s
@@ -358,11 +383,13 @@ class DynamicBatchingServer:
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
+        self._drain_rejected()
 
     def close(self):
         self._closed = True
         self._q.put(None)
         self._worker.join(timeout=5)
+        self._drain_rejected()
 
 
 def measure_dynamic_batching(

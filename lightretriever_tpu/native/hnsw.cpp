@@ -23,6 +23,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
+#include <stdexcept>
 #include <queue>
 #include <random>
 #include <vector>
@@ -366,31 +368,37 @@ int32_t lr_hnsw_save(void* ptr, const char* path) {
   auto* h = (HNSW*)ptr;
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
+  // every fwrite is checked: a partial write (disk full) must return an
+  // error, not leave a silently truncated index file
+  bool ok = true;
+  auto w = [&](const void* p, size_t sz, size_t cnt) {
+    ok = ok && std::fwrite(p, sz, cnt, f) == cnt;
+  };
   const char magic[8] = {'L', 'R', 'H', 'N', 'S', 'W', '0', '1'};
-  std::fwrite(magic, 1, 8, f);
+  w(magic, 1, 8);
   int32_t hdr[6] = {h->dim, h->M, h->ef_construction, h->n,
                     h->max_level, h->entry};
-  std::fwrite(hdr, 4, 6, f);
+  w(hdr, 4, 6);
   int32_t flags = h->sq ? 1 : 0;
-  std::fwrite(&flags, 4, 1, f);
+  w(&flags, 4, 1);
   if (h->sq) {
-    std::fwrite(h->scale.data(), 4, h->dim, f);
-    std::fwrite(h->offset.data(), 4, h->dim, f);
-    std::fwrite(h->codes.data(), 1, h->codes.size(), f);
+    w(h->scale.data(), 4, h->dim);
+    w(h->offset.data(), 4, h->dim);
+    w(h->codes.data(), 1, h->codes.size());
   } else {
-    std::fwrite(h->data.data(), 4, h->data.size(), f);
+    w(h->data.data(), 4, h->data.size());
   }
-  std::fwrite(h->levels.data(), 4, h->levels.size(), f);
+  w(h->levels.data(), 4, h->levels.size());
   int32_t n_layers = int32_t(h->links.size());
-  std::fwrite(&n_layers, 4, 1, f);
+  w(&n_layers, 4, 1);
   for (int l = 0; l < n_layers; ++l) {
     int64_t sz = int64_t(h->links[l].size());
-    std::fwrite(&sz, 8, 1, f);
-    std::fwrite(h->links[l].data(), 4, sz, f);
-    std::fwrite(h->rows[l].data(), 4, h->rows[l].size(), f);
+    w(&sz, 8, 1);
+    w(h->links[l].data(), 4, sz);
+    w(h->rows[l].data(), 4, h->rows[l].size());
   }
-  std::fclose(f);
-  return 0;
+  if (std::fclose(f) != 0) ok = false;
+  return ok ? 0 : -2;
 }
 
 void* lr_hnsw_load(const char* path) {
@@ -402,10 +410,19 @@ void* lr_hnsw_load(const char* path) {
     std::fclose(f);
     return nullptr;
   }
-  auto* h = new HNSW();
+  auto* h = new (std::nothrow) HNSW();
+  if (!h) { std::fclose(f); return nullptr; }
   int32_t hdr[6];
   int32_t flags, n_layers;
   bool ok = std::fread(hdr, 4, 6, f) == 6 && std::fread(&flags, 4, 1, f) == 1;
+  // sanity-check header fields: a corrupt/truncated file must return
+  // nullptr, not throw std::length_error across the C ABI into ctypes
+  ok = ok && hdr[0] > 0 && hdr[0] <= (1 << 20)        // dim
+          && hdr[1] > 1 && hdr[1] <= (1 << 16)        // M
+          && hdr[3] >= 0 && hdr[3] <= (1 << 30)       // n
+          && hdr[4] >= 0 && hdr[4] <= 64              // max_level
+          && hdr[5] >= -1 && hdr[5] < hdr[3];         // entry
+  try {
   if (ok) {
     h->dim = hdr[0]; h->M = hdr[1]; h->ef_construction = hdr[2];
     h->n = hdr[3]; h->max_level = hdr[4]; h->entry = hdr[5];
@@ -426,15 +443,20 @@ void* lr_hnsw_load(const char* path) {
     h->levels.resize(h->n);
     ok = ok && std::fread(h->levels.data(), 4, h->n, f) == size_t(h->n) &&
          std::fread(&n_layers, 4, 1, f) == 1;
+    ok = ok && n_layers >= 0 && n_layers <= 64;
     for (int l = 0; ok && l < n_layers; ++l) {
       int64_t sz;
-      ok = std::fread(&sz, 8, 1, f) == 1;
+      ok = std::fread(&sz, 8, 1, f) == 1 && sz >= 0 &&
+           sz <= int64_t(h->n) * (2 * int64_t(h->M) + 1);
       if (!ok) break;
       h->links.emplace_back(sz);
       h->rows.emplace_back(h->n, -1);
       ok = std::fread(h->links[l].data(), 4, sz, f) == size_t(sz) &&
            std::fread(h->rows[l].data(), 4, h->n, f) == size_t(h->n);
     }
+  }
+  } catch (const std::exception&) {
+    ok = false;
   }
   std::fclose(f);
   if (!ok) { delete h; return nullptr; }

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .knn import _round_up
-from .sparse_scorer import SparseVec, pack_sparse_vecs, quantize_vecs
+from .sparse_scorer import DictIngestMixin, pack_sparse_vecs
 
 logger = logging.getLogger(__name__)
 
@@ -117,7 +117,7 @@ def _blockmax_search(
     return s, ids, certified
 
 
-class BlockMaxImpactIndex:
+class BlockMaxImpactIndex(DictIngestMixin):
     """Impact search with block-max pruning; exact for certified queries.
 
     ``probe_blocks`` trades speed for recall: each query exact-scores only
@@ -147,19 +147,9 @@ class BlockMaxImpactIndex:
         self.quantization_factor = quantization_factor
         # Bounds the [Qb, probe*block_docs, K] phase-2 gather buffer
         self.query_block_budget_bytes = 1 << 30
-        self._vecs: list[SparseVec] = []
-        self._built = False
+        self._init_ingest()
         self.last_certified_frac: Optional[float] = None
         self.last_certified: Optional[np.ndarray] = None  # [Q] bool per query
-
-    def __len__(self) -> int:
-        return len(self._vecs)
-
-    def add(self, vecs: Sequence[SparseVec], quantize: bool = True) -> None:
-        if quantize:
-            vecs = quantize_vecs(vecs, self.quantization_factor)
-        self._vecs.extend(vecs)
-        self._built = False
 
     # ------------------------------------------------------------------ build
     def _finalize(self) -> None:
@@ -246,16 +236,6 @@ class BlockMaxImpactIndex:
             n, nb, self.block_docs, kb, kmax, time.perf_counter() - t0)
 
     # ----------------------------------------------------------------- search
-    def _query_matrix(self, queries) -> np.ndarray:
-        if isinstance(queries, np.ndarray):
-            return queries.astype(np.float32)
-        q = np.zeros((len(queries), self.vocab_size), np.float32)
-        for i, vec in enumerate(queries):
-            for t, x in vec.items():
-                if 0 <= t < self.vocab_size:
-                    q[i, t] = x
-        return q
-
     def search(self, queries, k: int,
                probe_blocks: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
         """Top-k impact search; queries as [Q, V] dense or term->weight dicts.
@@ -337,7 +317,7 @@ def _impact_rescore_search(
     return s, ids
 
 
-class ImpactOrderedIndex:
+class ImpactOrderedIndex(DictIngestMixin):
     """Impact-ordered candidate generation with exact rescoring.
 
     The TPU rendering of Lucene/JASS impact search: per term, postings are
@@ -364,19 +344,9 @@ class ImpactOrderedIndex:
         self.max_query_terms = max_query_terms
         self.quantization_factor = quantization_factor
         self.query_block_budget_bytes = 1 << 30
-        self._vecs: list[SparseVec] = []
-        self._built = False
+        self._init_ingest()
         self.last_certified: Optional[np.ndarray] = None
         self.last_certified_frac: Optional[float] = None
-
-    def __len__(self) -> int:
-        return len(self._vecs)
-
-    def add(self, vecs: Sequence[SparseVec], quantize: bool = True) -> None:
-        if quantize:
-            vecs = quantize_vecs(vecs, self.quantization_factor)
-        self._vecs.extend(vecs)
-        self._built = False
 
     def _finalize(self) -> None:
         if self._built:
@@ -466,6 +436,14 @@ class ImpactOrderedIndex:
             out_i.append(np.asarray(i, np.int64))
         s = np.concatenate(out_s)
         i = np.concatenate(out_i)
+        k_ret = min(k, len(self._vecs))
+        if s.shape[1] < k_ret:
+            # kernel candidate width is max_query_terms*cap, which can be
+            # narrower than k: pad to the width every sibling engine returns
+            # (pad slots score -inf -> never certified, honestly)
+            pad = k_ret - s.shape[1]
+            s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
         # host-side certificate
         used = q_ids >= 0
         safe = np.where(used, q_ids, 0)

@@ -57,6 +57,7 @@ class HNSWIndex:
         self.seed = seed
         self._host_chunks: list[np.ndarray] = []
         self._n = 0
+        self._loaded = False
         self._handle = None
         self._lib = None
         self._fallback: Optional[np.ndarray] = None
@@ -66,11 +67,18 @@ class HNSWIndex:
         return self._n
 
     def add(self, embeddings: np.ndarray) -> None:
+        if self._loaded:
+            # the loaded graph keeps no host rows to rebuild from; freeing
+            # it here would silently drop every loaded document
+            raise RuntimeError(
+                "add() after load() is unsupported: rebuild the index from "
+                "all rows instead")
         embeddings = np.ascontiguousarray(embeddings, np.float32)
         assert embeddings.ndim == 2
         self._host_chunks.append(embeddings)
         self._n += embeddings.shape[0]
         self._free()
+        self._fallback = None  # numpy-fallback snapshot is stale too
 
     def _free(self) -> None:
         if self._handle is not None:
@@ -166,6 +174,7 @@ class HNSWIndex:
         idx._lib = lib
         idx._handle = ctypes.c_void_p(handle)
         idx._n = int(lib.lr_hnsw_size(idx._handle))
+        idx._loaded = True
         return idx
 
 

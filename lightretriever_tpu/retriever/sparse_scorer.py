@@ -69,6 +69,55 @@ def quantize_vecs(vecs: Sequence[SparseVec], quantization_factor: int = 100) -> 
     return out
 
 
+class SparseQueryMixin:
+    """Query conversion shared by every impact engine (exhaustive,
+    block-max, impact-ordered, tiered): one definition of the dict<->dense
+    contract, so out-of-vocab handling fixes apply everywhere at once."""
+
+    vocab_size: int
+
+    def _query_matrix(self, queries) -> np.ndarray:
+        """[Q, V] dense fp32 query weights from dicts (or passthrough)."""
+        if isinstance(queries, np.ndarray):
+            return queries.astype(np.float32)
+        q = np.zeros((len(queries), self.vocab_size), np.float32)
+        for i, vec in enumerate(queries):
+            for t, x in vec.items():
+                if 0 <= t < self.vocab_size:
+                    q[i, t] = x
+        return q
+
+    def _query_dicts(self, queries) -> list[SparseVec]:
+        """term->weight dicts from a dense [Q, V] matrix (or passthrough)."""
+        if isinstance(queries, np.ndarray):
+            out = []
+            for row in queries:
+                (nz,) = np.nonzero(row)
+                out.append({int(t): float(row[t]) for t in nz})
+            return out
+        return list(queries)
+
+
+class DictIngestMixin(SparseQueryMixin):
+    """Doc ingestion for engines that keep per-doc dict vectors until
+    ``_finalize`` (block-max / impact-ordered / tiered)."""
+
+    quantization_factor: int
+
+    def _init_ingest(self) -> None:
+        self._vecs: list[SparseVec] = []
+        self._built = False
+
+    def __len__(self) -> int:
+        return len(self._vecs)
+
+    def add(self, vecs: Sequence[SparseVec], quantize: bool = True) -> None:
+        if quantize:
+            vecs = quantize_vecs(vecs, self.quantization_factor)
+        self._vecs.extend(vecs)
+        self._built = False
+
+
 # ---------------------------------------------------------------------------
 # Device scoring
 # ---------------------------------------------------------------------------
@@ -159,7 +208,7 @@ def _make_sharded_score(mesh: Mesh, vocab_size: int, k_local: int, k_final: int,
     ))
 
 
-class SparseImpactIndex:
+class SparseImpactIndex(SparseQueryMixin):
     """Impact-quantized sparse index scored on TPU (Anserini replacement)."""
 
     def __init__(
@@ -269,16 +318,6 @@ class SparseImpactIndex:
         i = np.asarray(i, np.int64)
         i[~np.isfinite(s)] = -1
         return s, i
-
-    def _query_matrix(self, queries) -> np.ndarray:
-        if isinstance(queries, np.ndarray):
-            return queries.astype(np.float32)
-        q = np.zeros((len(queries), self.vocab_size), np.float32)
-        for i, vec in enumerate(queries):
-            for t, x in vec.items():
-                if 0 <= t < self.vocab_size:
-                    q[i, t] = x
-        return q
 
     def search(self, queries, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Top-k impact search. ``queries``: [Q, V] dense array or list of dicts

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .knn import _round_up
-from .sparse_scorer import SparseVec, pack_sparse_vecs, quantize_vecs
+from .sparse_scorer import DictIngestMixin, pack_sparse_vecs
 
 logger = logging.getLogger(__name__)
 
@@ -177,7 +177,7 @@ def _heavy_scan(q_heavy, d_heavy, n_valid, k: int, chunk: int):
     return s, i
 
 
-class TieredImpactIndex:
+class TieredImpactIndex(DictIngestMixin):
     """Exact impact search, tiered by document frequency (see module doc).
 
     ``bucket_widths`` are the rare-postings table widths; they are extended
@@ -212,8 +212,7 @@ class TieredImpactIndex:
         self.q_block = q_block
         # bounds the [Qb, E] sort + [Qb, C, H] gather buffers
         self.query_block_budget_bytes = 1 << 30
-        self._vecs: list[SparseVec] = []
-        self._built = False
+        self._init_ingest()
         self.last_certified: Optional[np.ndarray] = None
         self.last_certified_frac: Optional[float] = None
         self.last_scan_frac: Optional[float] = None   # queries that needed the scan
@@ -222,15 +221,6 @@ class TieredImpactIndex:
         # engine is often host-RTT-bound under a remote attachment, and this
         # is how you find out (scripts/profile_tiered.py)
         self.last_timing: dict = {}
-
-    def __len__(self) -> int:
-        return len(self._vecs)
-
-    def add(self, vecs: Sequence[SparseVec], quantize: bool = True) -> None:
-        if quantize:
-            vecs = quantize_vecs(vecs, self.quantization_factor)
-        self._vecs.extend(vecs)
-        self._built = False
 
     # ------------------------------------------------------------------ build
     def _finalize(self) -> None:
@@ -263,7 +253,13 @@ class TieredImpactIndex:
         # postings sorted (term, doc): doc-sorted runs within each term
         o = np.lexsort((d_, t_))
         t_s, d_s, v_s = t_[o], d_[o], v_[o]
-        seg_start = np.concatenate([[0], np.flatnonzero(t_s[1:] != t_s[:-1]) + 1])
+        if len(t_s) == 0:
+            # every impact quantized to zero: a valid (if useless) index —
+            # search must return empty results, not crash the build
+            seg_start = np.zeros(0, np.int64)
+        else:
+            seg_start = np.concatenate(
+                [[0], np.flatnonzero(t_s[1:] != t_s[:-1]) + 1])
         seg_term = t_s[seg_start]
         seg_len = np.diff(np.concatenate([seg_start, [len(t_s)]]))
         seg_idx = np.repeat(np.arange(len(seg_start)), seg_len)
@@ -310,15 +306,6 @@ class TieredImpactIndex:
             n, widths, h, kmax, time.perf_counter() - t0)
 
     # ----------------------------------------------------------------- search
-    def _query_dicts(self, queries) -> list[SparseVec]:
-        if isinstance(queries, np.ndarray):
-            out = []
-            for row in queries:
-                (nz,) = np.nonzero(row)
-                out.append({int(t): float(row[t]) for t in nz})
-            return out
-        return list(queries)
-
     def search(self, queries, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k impact search; queries as [Q, V] dense or dicts.
 

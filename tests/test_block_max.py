@@ -1,7 +1,7 @@
 """Block-max pruned impact engine: certificates, parity vs exhaustive."""
 import numpy as np
 
-from lightretriever_tpu.retriever.block_max import BlockMaxImpactIndex
+from lightretriever_tpu.retriever.block_max import BlockMaxImpactIndex, ImpactOrderedIndex
 from lightretriever_tpu.retriever.sparse_scorer import (
     SparseImpactIndex,
     quantize_vecs,
@@ -215,3 +215,15 @@ def test_empty_docs_and_queries(rng):
     s, i = idx.search([{}, {int(d): 1.0 for d in range(3)}], 5)
     assert s.shape == (2, 5)
     assert (i < len(docs)).all()
+
+
+def test_impact_ordered_k_wider_than_candidates():
+    """k > max_query_terms*cap must pad, not IndexError (review fix)."""
+    rng = np.random.default_rng(0)
+    vecs = [{int(t): float(w) for t, w in zip(
+        rng.integers(0, 40, 4), rng.integers(1, 9, 4))} for _ in range(60)]
+    idx = ImpactOrderedIndex(vocab_size=40, postings_cap=2, max_query_terms=2)
+    idx.add(vecs, quantize=False)
+    s, i = idx.search([{3: 1.0, 7: 2.0}], k=50)
+    assert s.shape == (1, 50) and i.shape == (1, 50)
+    assert (i[~np.isfinite(s)] == -1).all()

@@ -120,3 +120,31 @@ def test_hnsw_mrl_dim_raises(data):
     idx.add(corpus[:100])
     with pytest.raises(NotImplementedError):
         idx.search(queries, 5, dim=16)
+
+
+def test_hnsw_add_after_load_raises(tmp_path):
+    """add() after load() must error, not silently drop loaded docs."""
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((50, 8)).astype(np.float32)
+    idx = HNSWIndex(hnsw_store_n=8)
+    idx.add(corpus)
+    path = str(tmp_path / "g.hnsw")
+    idx.save(path)
+    loaded = HNSWIndex.load(path)
+    assert len(loaded) == 50
+    with pytest.raises(RuntimeError, match="load"):
+        loaded.add(corpus[:5])
+
+
+def test_hnsw_load_rejects_corrupt_file(tmp_path):
+    """Corrupt header must fail cleanly (IOError), not crash the process."""
+    import struct
+
+    path = str(tmp_path / "bad.hnsw")
+    with open(path, "wb") as f:
+        f.write(b"LRHNSW01")
+        # dim=-3, M=2, efC=10, n=2**29, max_level=999, entry=7 -> rejected
+        f.write(struct.pack("<6i", -3, 2, 10, 1 << 29, 999, 7))
+        f.write(struct.pack("<i", 0))
+    with pytest.raises(IOError):
+        HNSWIndex.load(path)

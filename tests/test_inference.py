@@ -369,3 +369,42 @@ def test_dynamic_batching_server(tok):
         assert m["achieved_qps"] > 0 and m["p99_ms"] >= m["p50_ms"]
     finally:
         batcher.close()
+
+
+def test_sparse_server_no_hit_returns_none_ids(tok):
+    """-1 no-hit slots must not alias doc_ids[0] (phantom-hit review fix)."""
+    from lightretriever_tpu.inference.serving import AsymmetricSparseServer
+    from lightretriever_tpu.retriever.tiered_impact import TieredImpactIndex
+
+    idx = TieredImpactIndex(vocab_size=64)
+    idx.add([{1: 1.0}, {2: 1.0}], quantize=False)
+    srv = AsymmetricSparseServer(idx, tok, doc_ids=["a", "b"])
+    # an empty query matches nothing: every slot is a miss
+    s, ids = srv.query([""], k=2)
+    miss = ~np.isfinite(s)
+    assert miss.all()
+    assert all(x is None for x in ids[miss])
+
+
+def test_dynamic_batching_close_rejects_and_drains(tok):
+    from lightretriever_tpu.inference.serving import (
+        AsymmetricDenseServer,
+        DynamicBatchingServer,
+    )
+
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((len(tok), 8)).astype(np.float32)
+    corpus = rng.standard_normal((10, 8)).astype(np.float32)
+    server = AsymmetricDenseServer(table, corpus, tok, dtype="float32")
+    batcher = DynamicBatchingServer(server, k=2, max_batch=2, max_wait_ms=1.0)
+    batcher.close()
+    with pytest.raises(RuntimeError):
+        batcher.submit("too late")
+    # a future racing close() must resolve (to an exception), never hang
+    from concurrent.futures import Future
+
+    fut: Future = Future()
+    batcher._q.put(("raced", fut))
+    batcher._drain_rejected()
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=1)

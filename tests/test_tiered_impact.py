@@ -136,3 +136,12 @@ def test_search_factory_engine():
     ss = SparseSearch(vocab_size=300, engine="tiered")
     ss.index(docs, [f"d{i}" for i in range(len(docs))])
     assert type(ss._index).__name__ == "TieredImpactIndex"
+
+
+def test_tiered_all_zero_impacts_build_and_search():
+    """Vectors that quantize to nothing: searchable empty index, no crash."""
+    ti = TieredImpactIndex(vocab_size=50)
+    ti.add([{1: 0.001}, {2: 0.004}])   # x100 -> all impacts quantize to 0
+    s, i = ti.search([{1: 1.0}], k=3)
+    assert (i == -1).all() and not np.isfinite(s).any()
+    assert ti.last_certified_frac == 1.0
