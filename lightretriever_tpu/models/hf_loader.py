@@ -38,6 +38,21 @@ def _to_np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def resolve_model_dir(path: str) -> str:
+    """Resolve a user-supplied path to the directory holding ``config.json``.
+
+    Accepts either an HF-layout model dir directly, or a training-output
+    parent that nests it under ``model/`` (the ``scripts/lm_pretrain.py``
+    save layout: ``<out>/model`` + ``<out>/tokenizer``).
+    """
+    for cand in (path, os.path.join(path, "model")):
+        if os.path.isfile(os.path.join(cand, "config.json")):
+            return cand
+    raise FileNotFoundError(
+        f"no config.json under {path} or {path}/model — expected an "
+        "HF-layout checkpoint dir (or a lm_pretrain output parent)")
+
+
 def load_decoder_checkpoint(
     path: str, dtype=jnp.bfloat16
 ) -> tuple[Params, DecoderConfig]:

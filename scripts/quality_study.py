@@ -162,6 +162,9 @@ def main():
     if args.init_trunk:
         from transformers import PreTrainedTokenizerFast
 
+        from lightretriever_tpu.models.hf_loader import resolve_model_dir
+
+        args.init_trunk = resolve_model_dir(args.init_trunk)
         tok = PreTrainedTokenizerFast.from_pretrained(args.init_trunk)
         # Downstream consumers (sparse_engine_real_check, rerank_study)
         # load the tokenizer from <out>/tokenizer — persist it there too.

@@ -88,6 +88,10 @@ def main():
 
     assert args.tokenizer or args.init_trunk, \
         "pass --tokenizer (or --init-trunk, whose tokenizer is used)"
+    if args.init_trunk:
+        from lightretriever_tpu.models.hf_loader import resolve_model_dir
+
+        args.init_trunk = resolve_model_dir(args.init_trunk)
     tok = PreTrainedTokenizerFast.from_pretrained(
         args.tokenizer or args.init_trunk)
     on_tpu = jax.default_backend() == "tpu"

@@ -235,3 +235,16 @@ def test_peft_adapter_interchange(tmp_path):
     for name in lora["layers"]:
         np.testing.assert_allclose(np.asarray(lora["layers"][name]["a"]),
                                    np.asarray(lora2["layers"][name]["a"]))
+
+
+def test_resolve_model_dir(tmp_path):
+    """resolve_model_dir accepts the HF dir itself or a parent nesting model/."""
+    from lightretriever_tpu.models.hf_loader import resolve_model_dir
+
+    nested = tmp_path / "model"
+    nested.mkdir()
+    (nested / "config.json").write_text("{}")
+    assert resolve_model_dir(str(tmp_path)) == str(nested)
+    assert resolve_model_dir(str(nested)) == str(nested)
+    with pytest.raises(FileNotFoundError):
+        resolve_model_dir(str(tmp_path / "missing"))
