@@ -163,7 +163,7 @@ class SparseSearch:
     """Impact search (parity: AnseriniSearch, anserini_search.py:31-335,
     impact scoring mode). Engines:
 
-    * ``exhaustive`` (default): dense-chunk GEMM scorer — EXACT top-k, the
+    * ``exhaustive``: dense-chunk GEMM scorer — EXACT top-k, the
       evaluation-parity choice (the reference's Lucene impact search is
       exact); mesh-shardable.
     * ``inverted``: impact-pruned inverted index — the Lucene-shaped fast
@@ -185,6 +185,14 @@ class SparseSearch:
     * ``blockmax``: block-max pruned search (block_max.py:
       BlockMaxImpactIndex) — doc-block upper bounds + certificates; wins
       only when docs cluster tightly. Kept for study — prefer ``tiered``.
+    * ``auto`` (default): defer the choice to retrieval time, when corpus
+      size and weight signs are known — ``tiered`` when single-device, all
+      weights are non-negative, and the corpus has at least
+      ``auto_tiered_min_docs`` docs (measured 5-7x exhaustive QPS at
+      100k-1M with recall 1.0, PERFORMANCE.md); ``exhaustive`` otherwise
+      (mesh-sharded, tiny corpora where the single GEMM beats the tiered
+      build, or negative weights). Both choices are EXACT, so auto is a
+      pure perf dispatch with no quality consequence.
     """
 
     def __init__(
@@ -197,11 +205,12 @@ class SparseSearch:
         bm25: bool = False,
         bm25_k1: float = 0.9,
         bm25_b: float = 0.4,
-        engine: str = "exhaustive",
+        engine: str = "auto",
         postings_cap: int = 1024,
         max_query_terms: int = 256,
         block_docs: int = 128,
         probe_blocks: int = 32,
+        auto_tiered_min_docs: int = 25_000,
     ):
         self.model = model
         self.vocab_size = vocab_size
@@ -215,14 +224,20 @@ class SparseSearch:
         self.max_query_terms = max_query_terms
         self.block_docs = block_docs
         self.probe_blocks = probe_blocks
+        self.auto_tiered_min_docs = auto_tiered_min_docs
         self._index = None
         self._corpus_ids: list[str] = []
+        self._pending: list[dict] = []       # auto mode: docs buffered here
+        self._pending_nonneg = True
+        self.resolved_engine: Optional[str] = None  # what auto picked last
 
-    def _ensure_index(self):
+    def _ensure_index(self, engine: Optional[str] = None):
+        engine = engine or self.engine
         if self._index is None:
+            self.resolved_engine = "bm25" if self.bm25 else engine
             if self.bm25:
                 self._index = BM25Index(mesh=self.mesh, k1=self.bm25_k1, b=self.bm25_b)
-            elif self.engine == "inverted" and self.mesh is None:
+            elif engine == "inverted" and self.mesh is None:
                 from .sparse_scorer import InvertedImpactIndex
 
                 self._index = InvertedImpactIndex(
@@ -231,14 +246,14 @@ class SparseSearch:
                     quantization_factor=self.quantization_factor,
                     max_query_terms=self.max_query_terms,
                 )
-            elif self.engine == "tiered" and self.mesh is None:
+            elif engine == "tiered" and self.mesh is None:
                 from .tiered_impact import TieredImpactIndex
 
                 self._index = TieredImpactIndex(
                     vocab_size=self.vocab_size,
                     quantization_factor=self.quantization_factor,
                 )
-            elif self.engine == "impact" and self.mesh is None:
+            elif engine == "impact" and self.mesh is None:
                 from .block_max import ImpactOrderedIndex
 
                 self._index = ImpactOrderedIndex(
@@ -247,7 +262,7 @@ class SparseSearch:
                     max_query_terms=self.max_query_terms,
                     quantization_factor=self.quantization_factor,
                 )
-            elif self.engine == "blockmax" and self.mesh is None:
+            elif engine == "blockmax" and self.mesh is None:
                 from .block_max import BlockMaxImpactIndex
 
                 self._index = BlockMaxImpactIndex(
@@ -266,28 +281,55 @@ class SparseSearch:
     def index(self, docs, corpus_ids: Sequence[str]) -> None:
         """Add a corpus chunk. ``docs``: list of json dicts (impact vectors,
         already quantized by the converter) or raw strings (BM25 mode)."""
-        idx = self._ensure_index()
         if self.bm25:
-            idx.add([str(d) for d in docs])
+            self._ensure_index().add([str(d) for d in docs])
         else:
             vecs = [_parse_sparse_query(d) for d in docs]
-            # Converter already quantized (floor x100); don't double-quantize
-            idx.add(vecs, quantize=False)
+            if self.engine == "auto" and self.mesh is None and self._index is None:
+                # Defer the engine choice until retrieval, when corpus size
+                # and weight signs are known (see class docstring).
+                if self._pending_nonneg:
+                    self._pending_nonneg = all(
+                        min(v.values()) >= 0 for v in vecs if v)
+                self._pending.extend(vecs)
+            else:
+                # Converter already quantized (floor x100); don't double-quantize
+                self._ensure_index(
+                    "exhaustive" if self.engine == "auto" else self.engine
+                ).add(vecs, quantize=False)
         self._corpus_ids.extend(corpus_ids)
 
+    def _resolve_auto(self, queries: list[dict]) -> None:
+        """Build the deferred auto-mode index from the buffered corpus."""
+        nonneg = self._pending_nonneg and all(
+            min(q.values()) >= 0 for q in queries if q)
+        pick = ("tiered" if nonneg and
+                len(self._pending) >= self.auto_tiered_min_docs
+                else "exhaustive")
+        logger.info("SparseSearch auto engine -> %s (%d docs, nonneg=%s)",
+                    pick, len(self._pending), nonneg)
+        self._ensure_index(pick).add(self._pending, quantize=False)
+        self._pending = []
+
     def retrieve_with_emb(self, query_emb, query_ids: list[str], top_k: int) -> Results:
-        assert self._index is not None, "index a corpus first"
         k = min(top_k, len(self._corpus_ids))
         if self.bm25:
+            assert self._index is not None, "index a corpus first"
             s, i = self._index.search([str(q) for q in query_emb], k)
         else:
             queries = [_parse_sparse_query(q) for q in query_emb]
+            if self._pending:
+                self._resolve_auto(queries)
+            assert self._index is not None, "index a corpus first"
             s, i = self._index.search(queries, k)
         return _topk_to_results(s, i, query_ids, self._corpus_ids)
 
     def clear(self) -> None:
         self._index = None
         self._corpus_ids = []
+        self._pending = []
+        self._pending_nonneg = True
+        self.resolved_engine = None
 
     def search(self, corpus, queries, top_k: int = 1000, **kwargs) -> Results:
         """Full sparse search (BM25 path: model is DummyModel returning raw

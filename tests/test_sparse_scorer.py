@@ -220,3 +220,57 @@ def test_query_blocking_matches_unblocked():
     s2, i2 = b.search(queries, 10)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_sparse_search_auto_dispatch(rng):
+    """engine='auto' (the default) defers the choice to retrieval: tiered
+    above the doc threshold with non-negative weights, exhaustive otherwise —
+    and both resolutions return exactly the exhaustive results."""
+    from lightretriever_tpu.retriever.search import SparseSearch
+
+    docs = [
+        {str(t): float(x * 100) for t, x in d.items()}
+        for d in _rand_sparse(rng, 60)
+    ]
+    ids = [f"d{i}" for i in range(60)]
+    queries = ["1 2 3", "5 5 9", "12 40"]
+    qids = ["q0", "q1", "q2"]
+
+    ref = SparseSearch(vocab_size=V, engine="exhaustive")
+    ref.index(docs, ids)
+    expected = ref.retrieve_with_emb(queries, qids, top_k=5)
+    ref.clear()
+
+    # Above threshold -> tiered (chunked adds accumulate in the buffer)
+    ss = SparseSearch(vocab_size=V, auto_tiered_min_docs=50)
+    ss.index(docs[:30], ids[:30])
+    ss.index(docs[30:], ids[30:])
+    got = ss.retrieve_with_emb(queries, qids, top_k=5)
+    assert ss.resolved_engine == "tiered"
+    assert got == expected
+    ss.clear()
+    assert ss.resolved_engine is None and not ss._pending
+
+    # Below threshold -> exhaustive
+    ss = SparseSearch(vocab_size=V, auto_tiered_min_docs=1000)
+    ss.index(docs, ids)
+    got = ss.retrieve_with_emb(queries, qids, top_k=5)
+    assert ss.resolved_engine == "exhaustive"
+    assert got == expected
+    ss.clear()
+
+    # Negative doc weights -> exhaustive even above the doc threshold
+    neg_docs = [dict(d) for d in docs]
+    neg_docs[7]["2"] = -50.0
+    ss = SparseSearch(vocab_size=V, auto_tiered_min_docs=50)
+    ss.index(neg_docs, ids)
+    ss.retrieve_with_emb(queries, qids, top_k=5)
+    assert ss.resolved_engine == "exhaustive"
+    ss.clear()
+
+    # Negative query weights -> exhaustive too
+    ss = SparseSearch(vocab_size=V, auto_tiered_min_docs=50)
+    ss.index(docs, ids)
+    ss.retrieve_with_emb([{"1": -1.0, "3": 2.0}, "5 9", "12"], qids, top_k=5)
+    assert ss.resolved_engine == "exhaustive"
+    ss.clear()
