@@ -1,8 +1,15 @@
-"""Decoder model configuration covering the Llama & Qwen2 families.
+"""Decoder model configuration covering the Llama/Qwen2/Mistral/Gemma families.
 
-Covers every backbone the reference targets (Llama-3.x 1B/3B/8B, Qwen-2.5;
-reference: BASELINE.md configs; finetune/modeling_hybrid.py:67 treats "all
+Covers every backbone family the reference targets (Llama-3.x 1B/3B/8B,
+Qwen-2.5, Mistral-7B, Gemma — the pad/sep default families of
+arguments.py:283-310; finetune/modeling_hybrid.py:67 treats "all
 Llama-alike models" uniformly). Loadable from a HF ``config.json``.
+
+Family specifics handled in ``models.decoder``: Qwen2 = QKV bias; Gemma =
+sqrt(H) embedding scaling + (1+w) RMSNorm + gelu_pytorch_tanh + decoupled
+head_dim. Mistral is Llama-shaped; its sliding-window attention is NOT
+applied — irrelevant at this framework's sequence lengths (<=1024 q/p/rerank
+vs window 4096), and full attention is an exact superset below the window.
 """
 from __future__ import annotations
 

@@ -77,11 +77,14 @@ def init_params(config: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> Par
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float,
+             offset: float = 0.0) -> jnp.ndarray:
+    """fp32 RMSNorm. ``offset=1.0`` is the Gemma convention (HF GemmaRMSNorm
+    computes ``normed * (1 + weight)``; checkpoints store weight-1)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     normed = xf * jax.lax.rsqrt(var + eps)
-    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+    return (normed * (offset + weight.astype(jnp.float32))).astype(x.dtype)
 
 
 def _rope_inv_freq(config: DecoderConfig) -> np.ndarray:
@@ -236,8 +239,10 @@ def _decoder_layer(
             return 0.0
         return (x @ l["a"]) @ l["b"] * lora_scale
 
+    norm_offset = 1.0 if config.model_type.startswith("gemma") else 0.0
     residual = hidden
-    x = rms_norm(hidden, layer_params["input_layernorm"], config.rms_norm_eps)
+    x = rms_norm(hidden, layer_params["input_layernorm"], config.rms_norm_eps,
+                 norm_offset)
     if "qkv_proj" in layer_params:
         qd, kvd = nh * dh, nkv * dh
         qkv = _linear(x, layer_params["qkv_proj"])
@@ -256,7 +261,8 @@ def _decoder_layer(
     hidden = residual + _linear(attn, layer_params["o_proj"], lp("o_proj"), lora_scale)
 
     residual = hidden
-    x = rms_norm(hidden, layer_params["post_attention_layernorm"], config.rms_norm_eps)
+    x = rms_norm(hidden, layer_params["post_attention_layernorm"],
+                 config.rms_norm_eps, norm_offset)
     act = _ACTIVATIONS[config.hidden_act]
     if "gate_up_proj" in layer_params:
         i = config.intermediate_size
@@ -326,6 +332,10 @@ def forward(
             position_ids = jnp.broadcast_to(jnp.arange(s), (b, s))
 
     hidden = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    if config.model_type.startswith("gemma"):
+        # Gemma scales embeddings by sqrt(H), with the scalar rounded to the
+        # activation dtype first (matches HF GemmaModel's normalizer tensor).
+        hidden = hidden * jnp.asarray(config.hidden_size ** 0.5, hidden.dtype)
     cos, sin = rope_cos_sin(config, position_ids)
 
     layer_fn = functools.partial(
@@ -345,7 +355,9 @@ def forward(
     # Partial-module LoRA: scan needs every leaf stacked over L; missing
     # modules are represented by absence (dict without that key).
     last, collected = jax.lax.scan(scan_body, hidden, (params["layers"], lora_layers))
-    result = {"last_hidden_state": rms_norm(last, params["norm"], config.rms_norm_eps)}
+    result = {"last_hidden_state": rms_norm(
+        last, params["norm"], config.rms_norm_eps,
+        1.0 if config.model_type.startswith("gemma") else 0.0)}
     if output_hidden_states:
         # collected[l] = input to layer l (so [0] = embeddings); append final
         result["hidden_states"] = jnp.concatenate(

@@ -248,3 +248,52 @@ def test_resolve_model_dir(tmp_path):
     assert resolve_model_dir(str(nested)) == str(nested)
     with pytest.raises(FileNotFoundError):
         resolve_model_dir(str(tmp_path / "missing"))
+
+
+@pytest.mark.parametrize("family", ["gemma", "mistral"])
+def test_gemma_mistral_match_transformers(tmp_path, family):
+    """Gemma (sqrt(H) embedding scale, (1+w) RMSNorm, gelu_tanh, decoupled
+    head_dim) and Mistral (Llama-shaped; window >> our seq lengths) parity
+    vs transformers (reference backbone families: arguments.py:283-310)."""
+    from lightretriever_tpu.models import decoder as dec
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.hf_loader import load_decoder_params
+
+    if family == "gemma":
+        from transformers import GemmaConfig, GemmaForCausalLM
+
+        cfg_hf = GemmaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+            hidden_act="gelu_pytorch_tanh", hidden_activation="gelu_pytorch_tanh")
+        model = GemmaForCausalLM(cfg_hf)
+    else:
+        from transformers import MistralConfig, MistralForCausalLM
+
+        cfg_hf = MistralConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rope_theta=10000.0,
+            sliding_window=4096, tie_word_embeddings=True)
+        model = MistralForCausalLM(cfg_hf)
+    model.eval()
+    path = str(tmp_path / family)
+    model.save_pretrained(path, safe_serialization=True)
+
+    cfg = DecoderConfig.from_pretrained(path)
+    assert cfg.model_type == family
+    params = load_decoder_params(path, cfg, dtype=jnp.float32)
+
+    ids = np.random.default_rng(2).integers(3, 128, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    with torch.no_grad():
+        hf_out = model.model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask))
+    ours = dec.forward(
+        params, jnp.asarray(ids, jnp.int32),
+        attention_mask=jnp.asarray(mask, jnp.int32),
+        config=cfg, causal=True, attn_impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(ours["last_hidden_state"]),
+        hf_out.last_hidden_state.numpy(), rtol=3e-4, atol=3e-4)
