@@ -200,6 +200,15 @@ class ModelArguments(BaseModelArguments):
             raise ValueError(f"Unsupported score_function: {self.score_function}")
 
         if self.model_name_or_path:
+            # Family pad/sep defaults when unset (parity: arguments.py:283-310
+            # resolves "<|pad|>"/"<|sep|>" placeholders per backbone family).
+            from .utils.tokenizer_utils import default_special_tokens
+
+            family = default_special_tokens(self.model_name_or_path)
+            if self.pad_token is None:
+                self.pad_token = family["pad_token"]
+            if self.sep_token is None:
+                self.sep_token = family["sep_token"]
             self.model_name_or_path_qry = self.model_name_or_path
             self.model_name_or_path_psg = self.model_name_or_path
             if self.untie_encoder:

@@ -20,7 +20,8 @@ MODEL_SPECIAL_TOKEN_DEFAULTS = {
     "qwen": {"pad_token": "<|im_end|>", "sep_token": "<|im_start|>"},
     "llama3": {"pad_token": "<|reserved_special_token_0|>",
                "sep_token": "<|reserved_special_token_1|>"},
-    "mistral": {"pad_token": "<unk>", "sep_token": "<s>"},
+    "mistral-v0.1": {"pad_token": "<unk>", "sep_token": "<s>"},
+    "mistral-v0.3": {"pad_token": "[control_8]", "sep_token": "[/INST]"},
     "gemma": {"pad_token": "<|pad|>", "sep_token": "<bos>"},
 }
 
@@ -31,8 +32,10 @@ def default_special_tokens(model_name_or_path: str) -> dict[str, str]:
         return MODEL_SPECIAL_TOKEN_DEFAULTS["qwen"]
     if "llama-3" in name or "llama3" in name:
         return MODEL_SPECIAL_TOKEN_DEFAULTS["llama3"]
+    if "mistral-7b-v0.3" in name:
+        return MODEL_SPECIAL_TOKEN_DEFAULTS["mistral-v0.3"]
     if "mistral" in name:
-        return MODEL_SPECIAL_TOKEN_DEFAULTS["mistral"]
+        return MODEL_SPECIAL_TOKEN_DEFAULTS["mistral-v0.1"]
     if "gemma" in name:
         return MODEL_SPECIAL_TOKEN_DEFAULTS["gemma"]
     return {"pad_token": "<|pad|>", "sep_token": "<|sep|>"}

@@ -41,3 +41,22 @@ def test_exp_m_is_a_real_mixture():
     # msmarco dominates the canonical mixture
     w = cfg.normalized_weights()
     assert max(w, key=w.get) == "msmarco"
+
+
+def test_model_args_family_pad_sep_defaults():
+    """Unset pad/sep resolve to backbone-family defaults in __post_init__
+    (parity: reference arguments.py:283-310)."""
+    from lightretriever_tpu.arguments import ModelArguments
+
+    ma = ModelArguments(model_name_or_path="meta-llama/Llama-3.1-8B")
+    assert ma.pad_token == "<|reserved_special_token_0|>"
+    assert ma.sep_token == "<|reserved_special_token_1|>"
+    ma = ModelArguments(model_name_or_path="Qwen/Qwen2.5-7B")
+    assert ma.pad_token == "<|im_end|>"
+    ma = ModelArguments(model_name_or_path="mistralai/Mistral-7B-v0.3")
+    assert ma.pad_token == "[control_8]" and ma.sep_token == "[/INST]"
+    # explicit values win
+    ma = ModelArguments(model_name_or_path="Qwen/Qwen2.5-7B", pad_token="<x>")
+    assert ma.pad_token == "<x>"
+    # no model path: generic placeholders stay None for downstream "or" defaults
+    assert ModelArguments().pad_token is None
