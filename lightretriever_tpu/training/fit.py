@@ -61,10 +61,23 @@ def build_model(
         from ..models.hf_loader import load_decoder_params
 
         cfg = config or DecoderConfig.from_pretrained(path)
-        model = cls(model_args, train_args, cfg, **tok_ids)
         params = {"qry": load_decoder_params(path, cfg, dtype)}
         if model_args.untie_encoder:
             params["psg"] = load_decoder_params(path, cfg, dtype)
+        if tokenizer is not None and len(tokenizer) > cfg.vocab_size:
+            # Tokenizer surgery grew the vocab (added pad/sep/pooling tokens
+            # beyond reserved slots) — grow embeddings like the reference's
+            # resize_emb (utils/data_utils.py:273-281), MXU-lane padded.
+            from ..utils.tokenizer_utils import resize_vocab_for_tokenizer
+
+            new_cfg = cfg
+            for tower in list(params):
+                params[tower], new_cfg = resize_vocab_for_tokenizer(
+                    params[tower], cfg, tokenizer)
+                params[tower] = jax.tree.map(
+                    lambda x: jnp.asarray(x, dtype), params[tower])
+            cfg = new_cfg
+        model = cls(model_args, train_args, cfg, **tok_ids)
         # LoRA / projectors still need fresh init
         full = model.init_params(jax.random.key(train_args.seed), dtype)
         for k, v in full.items():

@@ -66,3 +66,43 @@ def test_fit_main_end_to_end(data_dir, tmp_path):
     # HF-layout export with model_args.yaml (reference save contract)
     assert os.path.exists(os.path.join(out_dir, "model_args.yaml"))
     assert any(f.endswith(".safetensors") for f in os.listdir(out_dir))
+
+
+def test_build_model_resizes_vocab_for_grown_tokenizer(tmp_path):
+    """Checkpoint vocab < len(tokenizer) after surgery -> embeddings grow
+    (parity: resize_emb, utils/data_utils.py:273-281), MXU-lane padded."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightretriever_tpu.arguments import ModelArguments, TrainingArguments
+    from lightretriever_tpu.models import decoder as dec
+    from lightretriever_tpu.models.config import DecoderConfig
+    from lightretriever_tpu.models.hf_loader import save_decoder_params
+    from lightretriever_tpu.training.fit import build_model
+
+    tok = make_tiny_tokenizer()
+    small_v = len(tok) - 8  # checkpoint predates the added tokens
+    cfg = DecoderConfig(
+        vocab_size=small_v, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, tie_word_embeddings=False)
+    ckpt = str(tmp_path / "ckpt")
+    params0 = dec.init_params(cfg, jax.random.key(0), jnp.float32)
+    save_decoder_params(params0, cfg, ckpt)
+
+    ma = ModelArguments(model_name_or_path=ckpt, attn_implementation="xla")
+    ta = TrainingArguments(output_dir=str(tmp_path / "out"))
+    model, params = build_model(ma, ta, tokenizer=tok, model_cls="hybrid",
+                                dtype=jnp.float32)
+    new_v = model.config_qry.vocab_size
+    assert new_v >= len(tok) and new_v % 128 == 0
+    assert params["qry"]["embed_tokens"].shape[0] == new_v
+    assert params["qry"]["lm_head"].shape[1] == new_v
+    # old rows preserved, forward runs with an added-token id
+    np.testing.assert_allclose(
+        np.asarray(params["qry"]["embed_tokens"][:small_v]),
+        np.asarray(params0["embed_tokens"]), rtol=1e-6)
+    ids = jnp.asarray([[1, len(tok) - 1, 2]], jnp.int32)
+    out = dec.forward(params["qry"], ids, config=model.config_qry,
+                      causal=True, attn_impl="xla")
+    assert bool(jnp.all(jnp.isfinite(out["last_hidden_state"])))
