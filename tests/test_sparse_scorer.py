@@ -148,7 +148,7 @@ def test_inverted_index_pruned_recall(rng):
 
 
 def test_sparse_search_engines_agree(rng):
-    """SparseSearch inverted (default) vs exhaustive: same rankings on
+    """SparseSearch engines vs exhaustive: same rankings on
     uncapped data through the full search-strategy path."""
     from lightretriever_tpu.retriever.search import SparseSearch
 
