@@ -1,11 +1,14 @@
-"""Decoder model configuration covering the Llama/Qwen2/Mistral/Gemma families.
+"""Decoder model configuration covering the Llama/Qwen2/Qwen3/Mistral/Gemma
+families.
 
 Covers every backbone family the reference targets (Llama-3.x 1B/3B/8B,
 Qwen-2.5, Mistral-7B, Gemma — the pad/sep default families of
 arguments.py:283-310; finetune/modeling_hybrid.py:67 treats "all
-Llama-alike models" uniformly). Loadable from a HF ``config.json``.
+Llama-alike models" uniformly), plus Qwen3 (the Qwen3-Embedding backbone
+generation). Loadable from a HF ``config.json``.
 
-Family specifics handled in ``models.decoder``: Qwen2 = QKV bias; Gemma =
+Family specifics handled in ``models.decoder``: Qwen2 = QKV bias; Qwen3 =
+per-head q/k RMSNorm before RoPE + decoupled head_dim, no QKV bias; Gemma =
 sqrt(H) embedding scaling + (1+w) RMSNorm + gelu_pytorch_tanh + decoupled
 head_dim. Mistral is Llama-shaped; its sliding-window attention is NOT
 applied — irrelevant at this framework's sequence lengths (<=1024 q/p/rerank
@@ -34,7 +37,9 @@ class DecoderConfig:
     tie_word_embeddings: bool = True
     attention_bias: bool = False  # Qwen2: True (qkv only)
     hidden_act: str = "silu"  # silu (llama/qwen/mistral) | gelu_pytorch_tanh (gemma)
-    model_type: str = "llama"  # llama | qwen2 | mistral | gemma
+    model_type: str = "llama"  # llama | qwen2 | qwen3 | mistral | gemma
+    # Qwen3: RMSNorm over head_dim applied to q and k per head, before RoPE
+    use_qk_norm: bool = False
     # Llama-3 rope scaling: dict(rope_type='llama3', factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings)
     rope_scaling: Optional[dict] = None
@@ -64,6 +69,7 @@ class DecoderConfig:
             hidden_act=cfg.get("hidden_act", cfg.get("hidden_activation", "silu")),
             model_type=cfg.get("model_type", "llama"),
             rope_scaling=rope_scaling,
+            use_qk_norm=cfg.get("model_type") == "qwen3",
         )
 
     @classmethod
@@ -80,7 +86,7 @@ class DecoderConfig:
             self.num_key_value_heads, self.head_dim, self.rms_norm_eps,
             self.rope_theta, self.max_position_embeddings,
             self.tie_word_embeddings, self.attention_bias, self.hidden_act,
-            self.model_type, rs,
+            self.model_type, self.use_qk_norm, rs,
         ))
 
 

@@ -1,4 +1,5 @@
-"""Llama/Qwen2 decoder as pure functions over a parameter pytree.
+"""Llama/Qwen2/Qwen3/Mistral/Gemma decoder as pure functions over a parameter
+pytree.
 
 TPU-native replacement of the reference's HF ``AutoModelForCausalLM`` backbone
 (reference: finetune/modeling_hybrid.py:54-88 unwraps "all Llama-alike
@@ -69,6 +70,9 @@ def init_params(config: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> Par
         params["layers"]["q_proj"]["bias"] = jnp.zeros((L, nh * dh), dtype)
         params["layers"]["k_proj"]["bias"] = jnp.zeros((L, nkv * dh), dtype)
         params["layers"]["v_proj"]["bias"] = jnp.zeros((L, nkv * dh), dtype)
+    if config.use_qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((L, dh), dtype)
+        params["layers"]["k_norm"] = jnp.ones((L, dh), dtype)
     if not config.tie_word_embeddings:
         params["lm_head"] = rnd(ks[8], (h, v))
     return params
@@ -253,6 +257,11 @@ def _decoder_layer(
         q = _linear(x, layer_params["q_proj"], lp("q_proj"), lora_scale).reshape(b, s, nh, dh)
         k = _linear(x, layer_params["k_proj"], lp("k_proj"), lora_scale).reshape(b, s, nkv, dh)
         v = _linear(x, layer_params["v_proj"], lp("v_proj"), lora_scale).reshape(b, s, nkv, dh)
+    if "q_norm" in layer_params:
+        # Qwen3: per-head RMSNorm over head_dim before RoPE (HF
+        # Qwen3Attention applies q_norm/k_norm to the reshaped heads)
+        q = rms_norm(q, layer_params["q_norm"], config.rms_norm_eps)
+        k = rms_norm(k, layer_params["k_norm"], config.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = _attention(q, k, v, segment_ids, causal, prompt_len, attn_impl,

@@ -1,6 +1,7 @@
 """HF checkpoint <-> JAX pytree conversion (safetensors, no torch required).
 
-Loads Llama/Qwen2 ``*.safetensors`` checkpoints into the scanned-layer pytree
+Loads Llama/Qwen2/Qwen3/Mistral/Gemma ``*.safetensors`` checkpoints into the
+scanned-layer pytree
 used by ``models.decoder`` and saves back in HF layout, preserving the
 reference's checkpoint interchange (reference: modeling_encoder.py:602-656
 loads HF AutoModel checkpoints; save at :813-856).
@@ -100,6 +101,9 @@ def load_decoder_params(
         layers["q_proj"]["bias"] = stack("layers.{l}.self_attn.q_proj.bias", False)
         layers["k_proj"]["bias"] = stack("layers.{l}.self_attn.k_proj.bias", False)
         layers["v_proj"]["bias"] = stack("layers.{l}.self_attn.v_proj.bias", False)
+    if config.use_qk_norm:
+        layers["q_norm"] = stack("layers.{l}.self_attn.q_norm.weight", False)
+        layers["k_norm"] = stack("layers.{l}.self_attn.k_norm.weight", False)
 
     params: Params = {
         "embed_tokens": _to_np(get("embed_tokens.weight")),
@@ -149,12 +153,19 @@ def save_decoder_params(params: Params, config: DecoderConfig, path: str) -> Non
             lp["input_layernorm"][l], np.float32)
         tensors[f"model.layers.{l}.post_attention_layernorm.weight"] = np.asarray(
             lp["post_attention_layernorm"][l], np.float32)
+        for name in ("q_norm", "k_norm"):
+            if name in lp:
+                tensors[f"model.layers.{l}.self_attn.{name}.weight"] = np.asarray(
+                    lp[name][l], np.float32)
     if "lm_head" in params:
         tensors["lm_head.weight"] = np.ascontiguousarray(np.asarray(params["lm_head"], np.float32).T)
     save_file(tensors, os.path.join(path, "model.safetensors"))
 
+    _ARCH = {"llama": "LlamaForCausalLM", "qwen2": "Qwen2ForCausalLM",
+             "qwen3": "Qwen3ForCausalLM", "mistral": "MistralForCausalLM",
+             "gemma": "GemmaForCausalLM"}
     hf_cfg = {
-        "architectures": ["LlamaForCausalLM" if config.model_type == "llama" else "Qwen2ForCausalLM"],
+        "architectures": [_ARCH.get(config.model_type, "LlamaForCausalLM")],
         "model_type": config.model_type,
         "vocab_size": config.vocab_size,
         "hidden_size": config.hidden_size,
@@ -167,6 +178,7 @@ def save_decoder_params(params: Params, config: DecoderConfig, path: str) -> Non
         "max_position_embeddings": config.max_position_embeddings,
         "tie_word_embeddings": config.tie_word_embeddings,
         "attention_bias": config.attention_bias,
+        "hidden_act": config.hidden_act,
     }
     if config.head_dim:
         hf_cfg["head_dim"] = config.head_dim

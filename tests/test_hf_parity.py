@@ -250,11 +250,13 @@ def test_resolve_model_dir(tmp_path):
         resolve_model_dir(str(tmp_path / "missing"))
 
 
-@pytest.mark.parametrize("family", ["gemma", "mistral"])
+@pytest.mark.parametrize("family", ["gemma", "mistral", "qwen3"])
 def test_gemma_mistral_match_transformers(tmp_path, family):
     """Gemma (sqrt(H) embedding scale, (1+w) RMSNorm, gelu_tanh, decoupled
-    head_dim) and Mistral (Llama-shaped; window >> our seq lengths) parity
-    vs transformers (reference backbone families: arguments.py:283-310)."""
+    head_dim), Mistral (Llama-shaped; window >> our seq lengths) and Qwen3
+    (per-head q/k RMSNorm before RoPE, decoupled head_dim, no QKV bias)
+    parity vs transformers (reference backbone families:
+    arguments.py:283-310; Qwen3 = the Qwen3-Embedding backbone family)."""
     from lightretriever_tpu.models import decoder as dec
     from lightretriever_tpu.models.config import DecoderConfig
     from lightretriever_tpu.models.hf_loader import load_decoder_params
@@ -268,6 +270,15 @@ def test_gemma_mistral_match_transformers(tmp_path, family):
             head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
             hidden_act="gelu_pytorch_tanh", hidden_activation="gelu_pytorch_tanh")
         model = GemmaForCausalLM(cfg_hf)
+    elif family == "qwen3":
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        cfg_hf = Qwen3Config(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+            tie_word_embeddings=True)
+        model = Qwen3ForCausalLM(cfg_hf)
     else:
         from transformers import MistralConfig, MistralForCausalLM
 
@@ -297,3 +308,21 @@ def test_gemma_mistral_match_transformers(tmp_path, family):
     np.testing.assert_allclose(
         np.asarray(ours["last_hidden_state"]),
         hf_out.last_hidden_state.numpy(), rtol=3e-4, atol=3e-4)
+
+    # Save -> reload round trip preserves family semantics (hidden_act,
+    # qk-norm tensors, architectures) — guards the HF-layout export path.
+    from lightretriever_tpu.models.hf_loader import save_decoder_params
+
+    export = str(tmp_path / f"{family}_export")
+    save_decoder_params(params, cfg, export)
+    cfg2 = DecoderConfig.from_pretrained(export)
+    assert cfg2.hidden_act == cfg.hidden_act
+    assert cfg2.use_qk_norm == cfg.use_qk_norm
+    params2 = load_decoder_params(export, cfg2, dtype=jnp.float32)
+    ours2 = dec.forward(
+        params2, jnp.asarray(ids, jnp.int32),
+        attention_mask=jnp.asarray(mask, jnp.int32),
+        config=cfg2, causal=True, attn_impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(ours2["last_hidden_state"]),
+        np.asarray(ours["last_hidden_state"]), rtol=1e-5, atol=1e-5)
