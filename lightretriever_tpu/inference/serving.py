@@ -97,16 +97,27 @@ class AsymmetricDenseServer:
                           width=self.max_query_tokens)
         return ids, mask
 
-    def query(self, texts: Sequence[str], k: int = 10):
-        """texts -> (scores [B, k], doc ids [B, k])."""
+    def query_async(self, texts: Sequence[str], k: int = 10):
+        """texts -> (scores, ids) DEVICE arrays. Returns as soon as the call
+        is dispatched (JAX async dispatch) — the device round trip has not
+        happened yet. Pair with :meth:`materialize`; lets a pipelined front
+        end (DynamicBatchingServer) form batch i+1 while batch i is in
+        flight on the tunnel."""
         ids, mask = self.tokenize(texts)
-        s, i = _serve_kernel(self.table, jnp.asarray(ids), jnp.asarray(mask),
+        return _serve_kernel(self.table, jnp.asarray(ids), jnp.asarray(mask),
                              self.corpus, self.valid, min(k, self.corpus.shape[0]),
                              self.normalize, self.mrl_dim, self.topk_method)
-        s, i = jax.device_get((s, i))
+
+    def materialize(self, si) -> tuple[np.ndarray, np.ndarray]:
+        """Block on a query_async result and map row indices to doc ids."""
+        s, i = jax.device_get(si)
         if self.doc_ids is not None:
             return np.asarray(s, np.float32), _name_ids(self.doc_ids, i)
         return np.asarray(s, np.float32), np.asarray(i, np.int64)
+
+    def query(self, texts: Sequence[str], k: int = 10):
+        """texts -> (scores [B, k], doc ids [B, k])."""
+        return self.materialize(self.query_async(texts, k))
 
 
 def bench_vs_full_encoder(
@@ -278,11 +289,20 @@ def measure_latency_percentiles(
 class DynamicBatchingServer:
     """Micro-batching front end for an AsymmetricDenseServer.
 
-    Single-query requests enqueue; a background worker drains the queue up
+    Single-query requests enqueue; a dispatch worker drains the queue up
     to ``max_batch`` (or until ``max_wait_ms`` after the first request) and
     issues ONE fused device call for the whole micro-batch. Batch sizes are
     bucketed to powers of two (pad by repeating the last query) so the
     serve kernel compiles a handful of shapes, never per-request.
+
+    Dispatch is PIPELINED (``pipeline_depth`` batches in flight): the
+    dispatch worker issues the device call asynchronously
+    (AsymmetricDenseServer.query_async) and hands the un-materialized
+    result to a completion worker, then immediately forms the next
+    micro-batch — so the host->device->host round trip (the ~30ms tunnel
+    RTT here; PCIe latency in production) of batch i overlaps the queue
+    drain + tokenization + dispatch of batch i+1 instead of capping the
+    batch rate at 1/RTT. The bounded hand-off queue is the backpressure.
 
     This replaces the reference's RPC feeder-thread fan-out
     (inference/exact_search_torchrpc.py:73-81) for the serving path: on TPU
@@ -291,7 +311,8 @@ class DynamicBatchingServer:
     """
 
     def __init__(self, server: AsymmetricDenseServer, k: int = 10,
-                 max_batch: int = 64, max_wait_ms: float = 2.0):
+                 max_batch: int = 64, max_wait_ms: float = 2.0,
+                 pipeline_depth: int = 2):
         import queue as _queue
         import threading
 
@@ -300,10 +321,13 @@ class DynamicBatchingServer:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "_queue.Queue" = _queue.Queue()
+        self._inflight: "_queue.Queue" = _queue.Queue(maxsize=max(1, pipeline_depth))
         self._closed = False
         # Pre-compile every bucket shape so first requests do not pay XLA
         for b in self._buckets():
             server.query(["warmup"] * b, k)
+        self._completer = threading.Thread(target=self._complete_loop, daemon=True)
+        self._completer.start()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -356,8 +380,7 @@ class DynamicBatchingServer:
             except _queue.Empty:
                 continue
             if first is None:
-                self._drain_rejected()
-                return
+                break
             items = [first]
             deadline = time.perf_counter() + self.max_wait_s
             while len(items) < self.max_batch:
@@ -376,19 +399,37 @@ class DynamicBatchingServer:
             width = self._bucket(len(texts))
             padded = texts + [texts[-1]] * (width - len(texts))
             try:
-                scores, ids = self.server.query(padded, self.k)
+                si = self.server.query_async(padded, self.k)
+            except Exception as e:  # pragma: no cover - surfacing only
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            # blocks when pipeline_depth batches are already in flight
+            self._inflight.put((si, items))
+        self._inflight.put(None)
+        self._drain_rejected()
+
+    def _complete_loop(self):
+        while True:
+            entry = self._inflight.get()
+            if entry is None:
+                return
+            si, items = entry
+            try:
+                scores, ids = self.server.materialize(si)
                 for j, (_, fut) in enumerate(items):
                     fut.set_result((scores[j], ids[j]))
             except Exception as e:  # pragma: no cover - surfacing only
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
-        self._drain_rejected()
 
     def close(self):
         self._closed = True
         self._q.put(None)
-        self._worker.join(timeout=5)
+        self._worker.join(timeout=10)
+        self._completer.join(timeout=10)
         self._drain_rejected()
 
 

@@ -370,6 +370,24 @@ def test_dynamic_batching_server(tok):
     finally:
         batcher.close()
 
+    # Pipelined dispatch (depth 3): per-request routing stays correct when
+    # several micro-batches are in flight, and DISTINCT queries get their
+    # own (not a batchmate's) results — pinned vs the direct server path.
+    batcher = DynamicBatchingServer(server, k=3, max_batch=4, max_wait_ms=1.0,
+                                    pipeline_depth=3)
+    try:
+        texts = [f"query number {i} fox" for i in range(24)]
+        want = {t: list(server.query([t], 3)[1][0]) for t in set(texts)}
+        futs = [(t, batcher.submit(t)) for t in texts]
+        for t, f in futs:
+            _, ids = f.result(timeout=10)
+            assert list(ids) == want[t], t
+    finally:
+        batcher.close()
+    # post-close submits error out instead of hanging
+    with pytest.raises(RuntimeError):
+        batcher.submit("late")
+
 
 def test_sparse_server_no_hit_returns_none_ids(tok):
     """-1 no-hit slots must not alias doc_ids[0] (phantom-hit review fix)."""
