@@ -105,15 +105,19 @@ def main():
     out["full_tower_encode_only"] = measure_latency_percentiles(
         full_encode_fn, texts, (1, 4, 16), args.n_calls, args.k)
 
-    batcher = DynamicBatchingServer(server, k=args.k, max_batch=64,
-                                    max_wait_ms=2.0)
-    try:
-        out["dynamic_batching"] = [
-            measure_dynamic_batching(batcher, texts, float(q),
-                                     n_requests=min(4 * int(float(q)), 400))
-            for q in args.loads.split(",")]
-    finally:
-        batcher.close()
+    # pipeline_depth bounds the dispatch->completion hand-off queue; even
+    # depth=1 overlaps one in-flight batch with the next batch's formation
+    # (the pre-pipelining server had zero overlap).
+    for depth in (1, 2, 4):
+        batcher = DynamicBatchingServer(server, k=args.k, max_batch=64,
+                                        max_wait_ms=2.0, pipeline_depth=depth)
+        try:
+            out[f"dynamic_batching_depth{depth}"] = [
+                measure_dynamic_batching(batcher, texts, float(q),
+                                         n_requests=min(4 * int(float(q)), 400))
+                for q in args.loads.split(",")]
+        finally:
+            batcher.close()
 
     def rnd(o):
         if isinstance(o, dict):
