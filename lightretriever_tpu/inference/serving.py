@@ -28,13 +28,16 @@ from ..inference.collator import pad_ragged
 def _serve_kernel(table, ids, mask, corpus, valid, k: int,
                   normalize: bool = True, mrl_dim: Optional[int] = None,
                   topk_method: str = "exact"):
-    """Fused asymmetric-dense query path: [B, L] token ids -> top-k doc ids."""
-    m = mask.astype(table.dtype)
-    rows = jnp.take(table, ids, axis=0)                 # [B, L, H]
-    reps = (rows * m[..., None]).sum(1) / jnp.maximum(m.sum(1)[:, None], 1.0)
+    """Fused asymmetric-dense query path: [B, L] token ids -> top-k doc ids.
+
+    ``corpus`` arrives already MRL-truncated + renormalized (done once at
+    server construction, matching knn.py search(dim=, renormalize=True));
+    only the query side is sliced here."""
+    from ..ops.embedding_bag import embedding_bag_lookup
+
+    reps = embedding_bag_lookup(table, ids, mask, mode="mean")
     if mrl_dim:
         reps = reps[:, :mrl_dim]
-        corpus = corpus[:, :mrl_dim]
     if normalize:
         reps = reps / jnp.maximum(
             jnp.linalg.norm(reps.astype(jnp.float32), axis=-1, keepdims=True),
@@ -48,11 +51,14 @@ def _serve_kernel(table, ids, mask, corpus, valid, k: int,
     return jax.lax.top_k(scores, k)
 
 
-def _name_ids(doc_ids, i) -> np.ndarray:
+def _name_ids(doc_ids_arr: np.ndarray, i) -> np.ndarray:
     """Map engine row indices to external doc ids; -1 no-hit slots become
-    None (not doc_ids[0] — a phantom hit that would poison recall math)."""
+    None (not doc_ids[0] — a phantom hit that would poison recall math).
+    ``doc_ids_arr`` must be a prebuilt object ndarray (built once at server
+    construction — rebuilding the O(corpus) array per call would dominate
+    the per-request serving path)."""
     i = np.asarray(i)
-    named = np.asarray(doc_ids, dtype=object)[np.maximum(i, 0)]
+    named = doc_ids_arr[np.maximum(i, 0)]
     named[i < 0] = None
     return named
 
@@ -80,10 +86,20 @@ class AsymmetricDenseServer:
     ):
         self.table = jnp.asarray(emb_bag_table, dtype)
         corpus = np.asarray(corpus_embeddings)
+        if mrl_dim:
+            # Truncate + renormalize doc rows ONCE, matching the engine
+            # contract (knn.py FlatIPIndex.search(dim=, renormalize=True)):
+            # IP against non-unit truncated rows would rank by truncated-row
+            # norm, not truncated cosine.
+            corpus = np.asarray(corpus[:, :mrl_dim], np.float32)
+            corpus = corpus / np.maximum(
+                np.linalg.norm(corpus, axis=-1, keepdims=True), 1e-9)
         self.corpus = jnp.asarray(corpus, dtype)
         self.valid = jnp.ones((len(corpus),), bool)
         self.tokenizer = tokenizer
         self.doc_ids = list(doc_ids) if doc_ids is not None else None
+        self._doc_ids_arr = (np.asarray(self.doc_ids, dtype=object)
+                             if doc_ids is not None else None)
         self.normalize = normalize
         self.mrl_dim = mrl_dim
         self.topk_method = topk_method
@@ -112,7 +128,7 @@ class AsymmetricDenseServer:
         """Block on a query_async result and map row indices to doc ids."""
         s, i = jax.device_get(si)
         if self.doc_ids is not None:
-            return np.asarray(s, np.float32), _name_ids(self.doc_ids, i)
+            return np.asarray(s, np.float32), _name_ids(self._doc_ids_arr, i)
         return np.asarray(s, np.float32), np.asarray(i, np.int64)
 
     def query(self, texts: Sequence[str], k: int = 10):
@@ -190,6 +206,8 @@ class AsymmetricSparseServer:
         self.index = impact_index
         self.tokenizer = tokenizer
         self.doc_ids = list(doc_ids) if doc_ids is not None else None
+        self._doc_ids_arr = (np.asarray(self.doc_ids, dtype=object)
+                             if doc_ids is not None else None)
         self.max_query_tokens = max_query_tokens
         self.vector_type = token_id_vector_type
 
@@ -204,7 +222,7 @@ class AsymmetricSparseServer:
             qvecs = [{int(t): float(c) for t, c in Counter(r).items()} for r in enc]
         s, i = self.index.search(qvecs, k)
         if self.doc_ids is not None:
-            return np.asarray(s, np.float32), _name_ids(self.doc_ids, i)
+            return np.asarray(s, np.float32), _name_ids(self._doc_ids_arr, i)
         return np.asarray(s, np.float32), np.asarray(i, np.int64)
 
 
@@ -354,6 +372,10 @@ class DynamicBatchingServer:
             raise RuntimeError("DynamicBatchingServer is closed")
         fut: Future = Future()
         self._q.put((text, fut))
+        if self._closed:
+            # raced close(): the worker may already have drained its final
+            # item — reject anything left so this future cannot hang forever
+            self._drain_rejected()
         return fut
 
     def _drain_rejected(self):

@@ -114,6 +114,8 @@ def get_hnsw_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.lr_hnsw_size.restype = ctypes.c_int64
     lib.lr_hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.lr_hnsw_dim.restype = ctypes.c_int32
+    lib.lr_hnsw_dim.argtypes = [ctypes.c_void_p]
     lib.lr_hnsw_search.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),

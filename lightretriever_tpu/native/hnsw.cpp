@@ -122,24 +122,21 @@ void search_layer(HNSW& h, const float* q, int32_t ep, float ep_d, int layer,
 void select_neighbors(HNSW& h, const std::vector<Cand>& cands, int m,
                       std::vector<int32_t>& out) {
   out.clear();
+  float tmp[4096];  // decoded candidate row (SQ case), once per candidate
   for (const auto& [d, c] : cands) {
     if (int(out.size()) >= m) break;
+    const float* cv;
+    if (!h.sq) {
+      cv = h.data.data() + size_t(c) * h.dim;
+    } else {
+      const int8_t* cc = h.codes.data() + size_t(c) * h.dim;
+      for (int i = 0; i < h.dim; ++i)
+        tmp[i] = float(cc[i]) * h.scale[i] + h.offset[i];
+      cv = tmp;
+    }
     bool ok = true;
-    const float* cv_q = nullptr;
     for (int32_t kept : out) {
-      float d_ck;
-      if (!h.sq) {
-        cv_q = h.data.data() + size_t(c) * h.dim;
-        d_ck = -h.dot(cv_q, kept);
-      } else {
-        // decode c once into a small stack buffer
-        float tmp[4096];
-        const int8_t* cc = h.codes.data() + size_t(c) * h.dim;
-        for (int i = 0; i < h.dim; ++i)
-          tmp[i] = float(cc[i]) * h.scale[i] + h.offset[i];
-        d_ck = -h.dot(tmp, kept);
-      }
-      if (d_ck < d) { ok = false; break; }  // closer to kept than to query
+      if (-h.dot(cv, kept) < d) { ok = false; break; }  // closer to kept than to query
     }
     if (ok) out.push_back(c);
   }
@@ -158,17 +155,6 @@ void connect(HNSW& h, int layer, int32_t u, const std::vector<int32_t>& nbs,
   for (; i < int(nbs.size()) && i < w; ++i) ru[i] = nbs[i];
   for (; i < w; ++i) ru[i] = -1;
   // reverse edges, shrinking overflowing rows with the same heuristic
-  const float* uv = nullptr;
-  std::vector<float> udec;
-  if (!h.sq) {
-    uv = h.data.data() + size_t(u) * h.dim;
-  } else {
-    udec.resize(h.dim);
-    const int8_t* uc = h.codes.data() + size_t(u) * h.dim;
-    for (int d = 0; d < h.dim; ++d)
-      udec[d] = float(uc[d]) * h.scale[d] + h.offset[d];
-    uv = udec.data();
-  }
   for (int32_t v : nbs) {
     int32_t* rv = h.row(layer, v);
     int cnt = 0;
@@ -278,7 +264,11 @@ extern "C" {
 void* lr_hnsw_build(const float* data, int64_t n, int32_t dim, int32_t M,
                     int32_t ef_construction, int32_t sq, uint64_t seed) {
   if (n <= 0 || dim <= 0 || dim > 4096 || M < 2) return nullptr;
-  auto* h = new HNSW();
+  // no exception may cross the C ABI into ctypes (UB/terminate): a build
+  // that exhausts memory must surface as nullptr -> Python RuntimeError
+  auto* h = new (std::nothrow) HNSW();
+  if (!h) return nullptr;
+  try {
   h->dim = dim;
   h->M = M;
   h->ef_construction = ef_construction;
@@ -316,10 +306,16 @@ void* lr_hnsw_build(const float* data, int64_t n, int32_t dim, int32_t M,
   std::vector<uint32_t> visited(n, 0);
   uint32_t stamp = 0;
   for (int64_t i = 0; i < n; ++i) insert(*h, int32_t(i), visited, stamp);
+  } catch (...) {
+    delete h;
+    return nullptr;
+  }
   return h;
 }
 
 int64_t lr_hnsw_size(void* ptr) { return ptr ? ((HNSW*)ptr)->n : 0; }
+
+int32_t lr_hnsw_dim(void* ptr) { return ptr ? ((HNSW*)ptr)->dim : 0; }
 
 // Batch search: queries [nq, dim] fp32 -> out_scores/out_ids [nq, k]
 // (inner-product scores, descending; -1 id padding).
@@ -419,9 +415,9 @@ void* lr_hnsw_load(const char* path) {
   // nullptr, not throw std::length_error across the C ABI into ctypes
   ok = ok && hdr[0] > 0 && hdr[0] <= (1 << 20)        // dim
           && hdr[1] > 1 && hdr[1] <= (1 << 16)        // M
-          && hdr[3] >= 0 && hdr[3] <= (1 << 30)       // n
+          && hdr[3] > 0 && hdr[3] <= (1 << 30)        // n (save never writes 0)
           && hdr[4] >= 0 && hdr[4] <= 64              // max_level
-          && hdr[5] >= -1 && hdr[5] < hdr[3];         // entry
+          && hdr[5] >= 0 && hdr[5] < hdr[3];          // entry node
   try {
   if (ok) {
     h->dim = hdr[0]; h->M = hdr[1]; h->ef_construction = hdr[2];
@@ -443,16 +439,28 @@ void* lr_hnsw_load(const char* path) {
     h->levels.resize(h->n);
     ok = ok && std::fread(h->levels.data(), 4, h->n, f) == size_t(h->n) &&
          std::fread(&n_layers, 4, 1, f) == 1;
-    ok = ok && n_layers >= 0 && n_layers <= 64;
+    // search walks rows[h->max_level] down — every layer must exist
+    ok = ok && n_layers > h->max_level && n_layers <= 64;
     for (int l = 0; ok && l < n_layers; ++l) {
       int64_t sz;
       ok = std::fread(&sz, 8, 1, f) == 1 && sz >= 0 &&
+           sz % h->width(l) == 0 &&
            sz <= int64_t(h->n) * (2 * int64_t(h->M) + 1);
       if (!ok) break;
       h->links.emplace_back(sz);
       h->rows.emplace_back(h->n, -1);
       ok = std::fread(h->links[l].data(), 4, sz, f) == size_t(sz) &&
            std::fread(h->rows[l].data(), 4, h->n, f) == size_t(h->n);
+      // validate graph contents: link ids index nodes, row offsets index
+      // link rows — a header-valid but bit-flipped file must not produce
+      // out-of-bounds reads/writes at search time
+      if (ok) {
+        for (int32_t id : h->links[l])
+          if (id < -1 || id >= h->n) { ok = false; break; }
+        int64_t n_rows = sz / h->width(l);
+        for (int32_t r : h->rows[l])
+          if (r < -1 || r >= n_rows) { ok = false; break; }
+      }
     }
   }
   } catch (const std::exception&) {

@@ -61,6 +61,7 @@ class HNSWIndex:
         self._handle = None
         self._lib = None
         self._fallback: Optional[np.ndarray] = None
+        self._dim: Optional[int] = None
         self.build_seconds: Optional[float] = None
 
     def __len__(self) -> int:
@@ -94,8 +95,10 @@ class HNSWIndex:
     def _finalize(self) -> None:
         if self._handle is not None or self._fallback is not None:
             return
+        assert self._host_chunks, "search/save on empty index (no add() calls)"
         emb = (np.concatenate(self._host_chunks, axis=0)
                if len(self._host_chunks) > 1 else self._host_chunks[0])
+        self._dim = int(emb.shape[1])
         lib = get_hnsw_lib()
         if lib is None:
             logger.warning(
@@ -127,6 +130,12 @@ class HNSWIndex:
                 "approx engines (knn.py) for MRL sweeps")
         self._finalize()
         q = np.ascontiguousarray(queries, np.float32)
+        assert q.ndim == 2, "queries must be [Q, dim]"
+        if getattr(self, "_dim", None) is not None and q.shape[1] != self._dim:
+            raise ValueError(
+                f"query dim {q.shape[1]} != index dim {self._dim} (the native "
+                "walk strides by the built dim; a pre-truncated MRL query "
+                "matrix cannot be searched here)")
         k_eff = min(k, self._n)
         if self._fallback is not None:
             scores = q @ self._fallback.T
@@ -174,6 +183,7 @@ class HNSWIndex:
         idx._lib = lib
         idx._handle = ctypes.c_void_p(handle)
         idx._n = int(lib.lr_hnsw_size(idx._handle))
+        idx._dim = int(lib.lr_hnsw_dim(idx._handle))
         idx._loaded = True
         return idx
 

@@ -148,3 +148,38 @@ def test_hnsw_load_rejects_corrupt_file(tmp_path):
         f.write(struct.pack("<i", 0))
     with pytest.raises(IOError):
         HNSWIndex.load(path)
+
+
+def test_hnsw_load_rejects_corrupt_graph_contents(tmp_path):
+    """A header-valid file with out-of-range link ids / row offsets must be
+    rejected at load — a bit-flipped graph would otherwise read/write out of
+    bounds at search time (visited[huge_id])."""
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((60, 16)).astype(np.float32)
+    idx = HNSWIndex(hnsw_store_n=8)
+    idx.add(emb)
+    path = str(tmp_path / "good.hnsw")
+    idx.save(path)
+    raw = bytearray(open(path, "rb").read())
+
+    # truncated file -> load fails
+    trunc = str(tmp_path / "trunc.hnsw")
+    open(trunc, "wb").write(bytes(raw[: len(raw) // 2]))
+    with pytest.raises(IOError):
+        HNSWIndex.load(trunc)
+
+    # the file ends with the last layer's rows[] table: blast the final
+    # offset to a huge value -> content validation fails
+    import struct
+
+    bad = str(tmp_path / "bad_rows.hnsw")
+    raw2 = bytearray(raw)
+    raw2[-4:] = struct.pack("<i", 2**30)
+    open(bad, "wb").write(bytes(raw2))
+    with pytest.raises(IOError):
+        HNSWIndex.load(bad)
+
+    # query-dim mismatch after a good load -> clear ValueError, no native OOB
+    loaded = HNSWIndex.load(path)
+    with pytest.raises(ValueError, match="dim"):
+        loaded.search(rng.standard_normal((2, 8)).astype(np.float32), 3)

@@ -226,6 +226,20 @@ def test_asymmetric_dense_server(tok):
     got = [int(x[1:]) for x in ids[0]]
     np.testing.assert_array_equal(got, want)
 
+    # MRL serving matches the retrieval-engine contract: truncated doc rows
+    # are RENORMALIZED (knn.py search(dim=, renormalize=True)) — raw IP on
+    # truncated rows would rank by truncated-row norm, not truncated cosine.
+    from lightretriever_tpu.retriever.knn import FlatIPIndex
+
+    server8 = AsymmetricDenseServer(table, corpus, tok,
+                                    doc_ids=[f"d{i}" for i in range(40)],
+                                    mrl_dim=8, dtype=np.float32)
+    s8, ids8 = server8.query(["the quick fox"], k=5)
+    idx = FlatIPIndex(dtype=np.float32)
+    idx.add(corpus)
+    es, ei = idx.search(rep[None, :], 5, dim=8, renormalize=True)
+    np.testing.assert_array_equal([int(x[1:]) for x in ids8[0]], ei[0])
+
 
 def test_asymmetric_sparse_and_hybrid_servers(tok):
     from lightretriever_tpu.inference.serving import (
