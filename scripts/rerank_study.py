@@ -69,6 +69,14 @@ def main():
                          "CE logits")
     ap.add_argument("--distill-coef", type=float, default=1.0)
     ap.add_argument("--distill-temp", type=float, default=4.0)
+    ap.add_argument("--rerank-predictions", default="auto",
+                    help="predictions.json.gz saved by quality_study: rerank "
+                         "these neural first stages too (the fully neural "
+                         "retrieve+rerank stack vs BM25). 'auto' = look next "
+                         "to --init-trunk; '' disables")
+    ap.add_argument("--rerank-systems", default="den,den_spr",
+                    help="comma list of systems from --rerank-predictions to "
+                         "use as first stages")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -220,19 +228,25 @@ def main():
     # --- rerank --------------------------------------------------------------
     enc = RerankerEncoder(model, params_t, tok, batch_size=64,
                           max_len=args.max_len)
-    pairs, owners = [], []
-    for qid in qids:
-        for pid in first[qid]:
-            pairs.append((queries[qid], corpus[pid]))
-            owners.append((qid, pid))
-    t0 = time.perf_counter()
-    rr_scores = enc.predict(pairs)
-    t_rr = time.perf_counter() - t0
-    reranked: dict[str, dict[str, float]] = {qid: {} for qid in qids}
-    for (qid, pid), s in zip(owners, rr_scores):
-        reranked[qid][pid] = float(s)
-    print(f"reranked {len(pairs)} pairs in {t_rr:.0f}s "
-          f"({len(pairs)/max(t_rr,1e-9):.0f} pairs/s)", flush=True)
+
+    def _rerank(first_stage):
+        """Rerank a {qid: {pid: score}} run with the trained CE."""
+        pairs, owners = [], []
+        for qid in qids:
+            for pid in first_stage.get(qid, {}):
+                pairs.append((queries[qid], corpus[pid]))
+                owners.append((qid, pid))
+        t0 = time.perf_counter()
+        rr = enc.predict(pairs)
+        t_rr = time.perf_counter() - t0
+        out: dict[str, dict[str, float]] = {qid: {} for qid in qids}
+        for (qid, pid), s in zip(owners, rr):
+            out[qid][pid] = float(s)
+        print(f"reranked {len(pairs)} pairs in {t_rr:.0f}s "
+              f"({len(pairs)/max(t_rr,1e-9):.0f} pairs/s)", flush=True)
+        return out, len(pairs) / max(t_rr, 1e-9)
+
+    reranked, pairs_per_s = _rerank(first)
 
     def score(results):
         m = evaluate_retrieval(qrels, results, k_values=[1, 10])
@@ -264,7 +278,40 @@ def main():
            "spearman_ce_vs_bm25_median": round(float(np.median(cors)), 4),
            "in_distribution_top1_acc": round(in_dist_acc, 4),
            "queries": len(qids), "first_k": args.first_k,
-           "pairs_per_s": round(len(pairs) / max(t_rr, 1e-9), 1)}
+           "pairs_per_s": round(pairs_per_s, 1)}
+
+    # --- neural first stages (fully neural retrieve+rerank vs BM25) ---------
+    pred_path = args.rerank_predictions
+    if pred_path == "auto":
+        pred_path = (os.path.join(os.path.dirname(args.init_trunk or ""),
+                                  "predictions.json.gz")
+                     if args.init_trunk else "")
+        # resolve_model_dir may have descended into .../model
+        if pred_path and not os.path.exists(pred_path):
+            alt = os.path.join(args.init_trunk or "", "predictions.json.gz")
+            pred_path = alt if os.path.exists(alt) else ""
+    if pred_path and os.path.exists(pred_path) and args.rerank_systems:
+        import gzip
+
+        with gzip.open(pred_path, "rt") as f:
+            preds = json.load(f)
+        out["neural_first_stages"] = {}
+        for name in args.rerank_systems.split(","):
+            name = name.strip()
+            if not name or name not in preds:
+                continue
+            run = {qid: dict(sorted(preds[name].get(qid, {}).items(),
+                                    key=lambda kv: -kv[1])[: args.first_k])
+                   for qid in qids}
+            rr_run, _ = _rerank(run)
+            out["neural_first_stages"][name] = {
+                "first": score(run), "reranked": score(rr_run)}
+            print(f"[{name}] first {out['neural_first_stages'][name]['first']}"
+                  f" -> reranked "
+                  f"{out['neural_first_stages'][name]['reranked']}", flush=True)
+    elif args.rerank_predictions:
+        print(f"no first-stage predictions at {pred_path!r}; skipping "
+              "neural-first-stage rerank rows", flush=True)
     print(json.dumps(out, indent=2))
     with open(os.path.join(args.out, "rerank_summary.json"), "w") as f:
         json.dump(out, f, indent=2)
