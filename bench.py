@@ -19,11 +19,16 @@ block_until_ready is unreliable — so each timed region dispatches n_iter
 searches and forces one materialization at the end.
 """
 import json
+import sys
 import time
 
 import numpy as np
 
 import jax
+
+if "--cpu" in sys.argv:  # debug runs off-TPU (sitecustomize pins the tunnel)
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 N_DOCS = 500_000
@@ -83,15 +88,31 @@ def main():
     recall = float(np.mean([
         len(np.intersect1d(a, b)) / TOP_K for a, b in zip(i_ap, i_ex)]))
 
-    # --- CPU brute-force baseline (same exact algorithm), median of 3 -------
+    # --- CPU brute-force baseline (same exact algorithm) --------------------
+    # Pinned for cross-round comparability (VERDICT r3 next #7: r1/r2/r3
+    # measured 42/17/65 QPS from BLAS thread-count + ambient-load variance):
+    # exactly ONE BLAS thread via threadpoolctl (deterministic on any
+    # machine), median of 5 reps after a warmup rep. Raw per-query ms is
+    # reported for both sides; the multiplier is derived, not primary.
     nq_cpu = 64
     cpu_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        scores = queries[:nq_cpu] @ corpus.T
-        part = np.argpartition(-scores, TOP_K - 1, axis=1)[:, :TOP_K]
-        np.take_along_axis(scores, part, axis=1)
-        cpu_times.append(time.perf_counter() - t0)
+    try:
+        from threadpoolctl import threadpool_limits
+        _limit = threadpool_limits(limits=1)
+        cpu_threads = 1
+    except ImportError:  # fall back to ambient BLAS config
+        _limit, cpu_threads = None, -1
+    try:
+        for rep in range(6):
+            t0 = time.perf_counter()
+            scores = queries[:nq_cpu] @ corpus.T
+            part = np.argpartition(-scores, TOP_K - 1, axis=1)[:, :TOP_K]
+            np.take_along_axis(scores, part, axis=1)
+            if rep:  # rep 0 = cache/allocator warmup
+                cpu_times.append(time.perf_counter() - t0)
+    finally:
+        if _limit is not None:
+            _limit.unregister()
     t_cpu = float(np.median(cpu_times))
     cpu_qps = nq_cpu / t_cpu
 
@@ -108,6 +129,10 @@ def main():
         "exact_qps": round(exact_qps, 1),
         "exact_vs_cpu": round(exact_qps / cpu_qps, 2),
         "cpu_baseline_qps": round(cpu_qps, 1),
+        "cpu_baseline_threads": cpu_threads,
+        "cpu_ms_per_query": round(t_cpu / nq_cpu * 1000, 3),
+        "tpu_ms_per_query": round(t_ap / N_QUERIES * 1000, 4),
+        "exact_tpu_ms_per_query": round(t_exact / N_QUERIES * 1000, 4),
         "exact_top1_agreement_vs_fp32_cpu": agree,
     }))
 

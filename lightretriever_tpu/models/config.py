@@ -48,8 +48,22 @@ class DecoderConfig:
     def head_dim_(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
+    # Decoder families with a verified parameter mapping + forward parity
+    # (tests/test_hf_parity.py). BERT-family encoders load via models/bert.py.
+    SUPPORTED_MODEL_TYPES = ("llama", "qwen2", "qwen3", "mistral", "gemma")
+
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "DecoderConfig":
+        # Fail loudly on unknown backbones instead of silently applying the
+        # llama mapping (reference takes any AutoModel,
+        # modeling_encoder.py:677-744; this port supports the families its
+        # scripts/paper actually use — VERDICT r3 next #9).
+        mt = cfg.get("model_type", "llama")
+        if mt not in cls.SUPPORTED_MODEL_TYPES:
+            raise ValueError(
+                f"unsupported model_type {mt!r}: supported decoder families "
+                f"are {', '.join(cls.SUPPORTED_MODEL_TYPES)} (BERT-family "
+                "encoders load via lightretriever_tpu.models.bert)")
         rope_scaling = cfg.get("rope_scaling")
         if rope_scaling is not None:
             rope_scaling = dict(rope_scaling)

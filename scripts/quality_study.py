@@ -128,8 +128,31 @@ def main():
                     help="fraction of queries (by id hash) used to pick the "
                          "min-max linear fusion weight; metrics reported on "
                          "the full set AND the held-out remainder")
+    # --- round-4 levers (VERDICT r3 next #1/#4/#8) ---------------------------
+    ap.add_argument("--seed", type=int, default=0,
+                    help="data-order + fresh-init seed (the trunk warm start "
+                         "is seed-independent): seed sweep for the sparse-"
+                         "branch variance study")
+    ap.add_argument("--tokenizer", default=None,
+                    help="load the tokenizer from this dir instead of "
+                         "building one on --data (cross-domain zero-shot "
+                         "eval of an --init-from model)")
+    ap.add_argument("--sparse-projector", default="none",
+                    choices=("none", "linear"),
+                    help="'linear': decouple the sparse head from the tied "
+                         "embedding matrix via a trainable projector "
+                         "initialized from the (pretrained) lm_head — the "
+                         "reference's default (modeling_hybrid.py:879-905); "
+                         "'none': sparse logits through the tied lm_head")
+    ap.add_argument("--save-embs", action="store_true",
+                    help="save dense corpus/query embeddings to <out>/"
+                         "dense_embs.npz (MRL spectrum analysis input)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    if args.init_trunk:
+        from lightretriever_tpu.models.hf_loader import resolve_model_dir
+
+        args.init_trunk = resolve_model_dir(args.init_trunk)
 
     from lightretriever_tpu.arguments import (
         InferenceArguments,
@@ -159,12 +182,15 @@ def main():
     # --- tokenizer over the real corpus (or the pretrained trunk's) ---------
     t0 = time.perf_counter()
     tok_dir = os.path.join(args.out, "tokenizer")
-    if args.init_trunk:
+    if args.tokenizer:
         from transformers import PreTrainedTokenizerFast
 
-        from lightretriever_tpu.models.hf_loader import resolve_model_dir
+        tok = PreTrainedTokenizerFast.from_pretrained(args.tokenizer)
+        if not os.path.exists(os.path.join(tok_dir, "tokenizer.json")):
+            tok.save_pretrained(tok_dir)
+    elif args.init_trunk:
+        from transformers import PreTrainedTokenizerFast
 
-        args.init_trunk = resolve_model_dir(args.init_trunk)
         tok = PreTrainedTokenizerFast.from_pretrained(args.init_trunk)
         # Downstream consumers (sparse_engine_real_check, rerank_study)
         # load the tokenizer from <out>/tokenizer — persist it there too.
@@ -209,6 +235,7 @@ def main():
         hybrid_use_emb_vector=all_sys,
         hybrid_use_token_id_vector=all_sys,
         noncontextual_query_embedding=all_sys,
+        use_sparse_linear_projector=args.sparse_projector == "linear",
         sparse_use_relu=True, sparse_use_log_saturation=True,
         # SPLADE pruning (reference sparsify knobs): unpruned from-scratch
         # heads emit near-dense [V] vectors — meaningless as "sparse" reps
@@ -230,12 +257,22 @@ def main():
     model = HybridModel(ma, ta, cfg, eos_token_id=tok.eos_token_id,
                         pad_token_id=tok.pad_token_id)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    params = model.init_params(jax.random.key(0), dtype)
+    params = model.init_params(jax.random.key(args.seed), dtype)
     if args.init_trunk:
         from lightretriever_tpu.models.hf_loader import load_decoder_params
 
         params["qry"] = load_decoder_params(args.init_trunk, cfg, dtype)
         print(f"warm-started trunk from pretrained {args.init_trunk}", flush=True)
+        if "spr_pooler_q" in params and args.sparse_projector == "linear":
+            # Re-init the decoupled sparse projector from the PRETRAINED
+            # lm_head (init_params saw only the random trunk) — the
+            # reference's init (modeling_hybrid.py:879-905).
+            from lightretriever_tpu.models.decoder import lm_head_weight
+
+            params["spr_pooler_q"]["kernel"] = lm_head_weight(
+                params["qry"], cfg).astype(dtype)
+            print("sparse projector re-initialized from pretrained lm_head",
+                  flush=True)
     if args.init_from:
         # Stage-2 warm start: trunk from the stage-1 run; any params the
         # saved model lacks (e.g. sparse projectors) keep their fresh init.
@@ -252,17 +289,17 @@ def main():
     # --- streaming train pipeline over the real training rows ------------------
     train_path = args.train_file or os.path.join(
         args.data, "train", "docstrings.jsonl")
-    stream = StreamingDomain(train_path, name="docstrings", seed=0,
+    stream = StreamingDomain(train_path, name="docstrings", seed=args.seed,
                              buffer_size=8192)
     col = IterableTrainCollator(
         tokenizer=tok, q_max_len=args.q_max, p_max_len=args.p_max,
         pad_to_max_length=True,  # one static shape -> exactly one compile
-        train_n_passages=args.n_passages, seed=0,
+        train_n_passages=args.n_passages, seed=args.seed,
         emb_size=vocab_size if all_sys else None,
         noncontextual_query_embedding=all_sys)
     it = train_dataloader(
-        interleave_streams({"docstrings": stream}, seed=0), col, args.batch,
-        workers=4)  # collation is the bottleneck for small models
+        interleave_streams({"docstrings": stream}, seed=args.seed), col,
+        args.batch, workers=4)  # collation bottlenecks small models
 
     if args.skip_train:
         params_t = jax.device_get(params)
@@ -366,7 +403,8 @@ def main():
 
     # --- MRL truncated-search sweep (VERDICT r2 next #9) --------------------
     mrl_sweep = {}
-    if mrl_dims:
+    spectrum = {}
+    if mrl_dims or args.save_embs:
         from lightretriever_tpu.evaluation.harness import _score
         from lightretriever_tpu.retriever.knn import FlatIPIndex
 
@@ -378,6 +416,39 @@ def main():
         q_emb = np.asarray(enc.encode_queries(
             [queries[i] for i in qids],
             batch_size=args.encode_batch)["dense_reps"], np.float32)
+        if args.save_embs:
+            np.savez_compressed(
+                os.path.join(args.out, "dense_embs.npz"),
+                corpus=c_emb, queries=q_emb,
+                corpus_ids=np.array(ids), query_ids=np.array(qids))
+            print(f"saved dense embeddings {c_emb.shape}/{q_emb.shape}",
+                  flush=True)
+        # Embedding-spectrum analysis (VERDICT r3 next #4): does dim-64 ~
+        # dim-full come from MRL training or from a low effective rank?
+        # (a) singular spectrum of the centered corpus matrix -> effective
+        # rank (participation ratio of eigenvalues); (b) MRL slices are
+        # COORDINATE prefixes, so also report the variance fraction the
+        # first-d coordinates carry at each swept dim.
+        sample = c_emb[
+            np.random.default_rng(0).permutation(len(c_emb))[:8192]]
+        sv = np.linalg.svd(sample - sample.mean(0), compute_uv=False)
+        lam = sv ** 2
+        spectrum = {
+            "participation_ratio": float(lam.sum() ** 2 / (lam ** 2).sum()),
+            "rank90": int(np.searchsorted(
+                np.cumsum(lam) / lam.sum(), 0.90) + 1),
+            "rank99": int(np.searchsorted(
+                np.cumsum(lam) / lam.sum(), 0.99) + 1),
+            "top_singular_values": [round(float(s), 2) for s in sv[:16]],
+        }
+        var = (c_emb - c_emb.mean(0)).var(0)
+        for d in mrl_dims:
+            spectrum[f"coord_var_frac@{d}"] = round(
+                float(var[:d].sum() / var.sum()), 4)
+        print(f"spectrum: PR={spectrum['participation_ratio']:.1f} "
+              f"rank90={spectrum['rank90']} rank99={spectrum['rank99']} "
+              f"of d={c_emb.shape[1]}", flush=True)
+    if mrl_dims:
         idx = FlatIPIndex()
         idx.add(c_emb)
         # One resident full-dim index; every truncated search is a zero-copy
@@ -428,8 +499,12 @@ def main():
         "pooling": args.pooling, "distill": bool(args.distill),
         "init_trunk": args.init_trunk,
     }
+    summary["seed"] = args.seed
+    summary["sparse_projector"] = args.sparse_projector
     if mrl_sweep:
         summary["mrl_sweep"] = mrl_sweep
+    if spectrum:
+        summary["spectrum"] = spectrum
     if not args.skip_bm25 and "fusion_sweep" in dir():
         summary["fusion_sweep"] = fusion_sweep
         summary["holdout"] = {

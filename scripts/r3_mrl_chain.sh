@@ -30,7 +30,9 @@ stage() { # stage <name> <cmd...>
 stage beir $W python scripts/build_docstring_beir.py --out "$A/docstring_beir"
 stage harvest python scripts/harvest_pretrain_corpus.py \
   --out "$A/pretrain_corpus.jsonl" --queries "$A/docstring_beir/queries.jsonl"
-stage teacher $W python scripts/bm25_teacher.py --data "$A/docstring_beir" \
+# bm25_teacher is CPU-only (no jax): run bare — a with_tpu.sh prefix would
+# burn a preflight probe client for a job that never touches the chip.
+stage teacher python scripts/bm25_teacher.py --data "$A/docstring_beir" \
   --out "$A/docstring_beir/train/docstrings_bm25.jsonl"
 stage lm_pt_fast $W python scripts/lm_pretrain.py \
   --data "$A/pretrain_corpus.jsonl" \

@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--max-len", type=int, default=256)
     ap.add_argument("--first-k", type=int, default=50)
+    ap.add_argument("--first-k-list", default=None,
+                    help="comma list of rerank depths (e.g. 50,100): rerank "
+                         "once at the max depth, report metrics at every "
+                         "prefix depth (VERDICT r3 next #5 depth ablation). "
+                         "Overrides --first-k")
     ap.add_argument("--max-queries", type=int, default=500)
     ap.add_argument("--logging-steps", type=int, default=200)
     ap.add_argument("--easy-negatives", action="store_true",
@@ -213,6 +218,9 @@ def main():
           f"{in_dist_acc:.3f} on 200 held-out groups", flush=True)
 
     # --- first stage: BM25 top-k -------------------------------------------
+    k_list = ([int(k) for k in args.first_k_list.split(",")]
+              if args.first_k_list else [args.first_k])
+    args.first_k = max(k_list)
     bm25 = BM25Index()
     ids = list(corpus)
     bm25.add([corpus[pid]["title"] + " " + corpus[pid]["text"] for pid in ids])
@@ -273,7 +281,19 @@ def main():
                 for qid in qids}
 
     before, after = score(first), score(reranked)
+    depth_rows = {}
+    if len(k_list) > 1:
+        for k in sorted(k_list):
+            topk = {qid: dict(sorted(first[qid].items(),
+                                     key=lambda kv: -kv[1])[:k])
+                    for qid in qids}
+            rr_k = {qid: {pid: reranked[qid][pid] for pid in topk[qid]}
+                    for qid in qids}
+            depth_rows[str(k)] = {"first": score(topk), "reranked": score(rr_k)}
+            print(f"depth {k}: first {depth_rows[str(k)]['first']} -> "
+                  f"reranked {depth_rows[str(k)]['reranked']}", flush=True)
     out = {"first_stage_bm25": before, "reranked": after,
+           **({"depth_ablation": depth_rows} if depth_rows else {}),
            "random_shuffle_floor": score(shuffled),
            "spearman_ce_vs_bm25_median": round(float(np.median(cors)), 4),
            "in_distribution_top1_acc": round(in_dist_acc, 4),

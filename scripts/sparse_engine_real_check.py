@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--out", default=None,
+                    help="also write the summary JSON here (docs-lockstep: "
+                         "PERFORMANCE.md cites committed results/*.json)")
     args = ap.parse_args()
 
     from transformers import PreTrainedTokenizerFast
@@ -204,8 +207,14 @@ def main():
         print(f"dense ivf nprobe={nprobe}: recall={rec_iv:.4f} "
               f"qps={len(qs)/t_iv:.0f}", flush=True)
 
-    print(json.dumps({"docs": len(docs), "queries": len(qs), "k": args.k,
-                      "engines": results, "dense_engines": dense_rows}))
+    summary = {"docs": len(docs), "queries": len(qs), "k": args.k,
+               "model": args.model, "engines": results,
+               "dense_engines": dense_rows}
+    print(json.dumps(summary))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -250,6 +250,27 @@ def test_resolve_model_dir(tmp_path):
         resolve_model_dir(str(tmp_path / "missing"))
 
 
+def test_unsupported_backbone_clear_error(tmp_path):
+    """Unknown model_type fails loudly, naming the supported families
+    (VERDICT r3 next #9; reference takes any AutoModel,
+    modeling_encoder.py:677-744 — this port names its verified set)."""
+    import json
+
+    from lightretriever_tpu.models.config import DecoderConfig
+
+    (tmp_path / "config.json").write_text(json.dumps({
+        "model_type": "gpt2", "vocab_size": 128, "hidden_size": 32,
+        "intermediate_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 4}))
+    with pytest.raises(ValueError, match="gpt2.*llama, qwen2, qwen3"):
+        DecoderConfig.from_pretrained(str(tmp_path))
+    # absent model_type keeps the llama default (generic HF checkpoints)
+    (tmp_path / "config.json").write_text(json.dumps({
+        "vocab_size": 128, "hidden_size": 32, "intermediate_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4}))
+    assert DecoderConfig.from_pretrained(str(tmp_path)).model_type == "llama"
+
+
 @pytest.mark.parametrize("family", ["gemma", "mistral", "qwen3"])
 def test_gemma_mistral_match_transformers(tmp_path, family):
     """Gemma (sqrt(H) embedding scale, (1+w) RMSNorm, gelu_tanh, decoupled
