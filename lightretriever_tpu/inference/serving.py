@@ -330,7 +330,7 @@ class DynamicBatchingServer:
 
     def __init__(self, server: AsymmetricDenseServer, k: int = 10,
                  max_batch: int = 64, max_wait_ms: float = 2.0,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, instrument: bool = False):
         import queue as _queue
         import threading
 
@@ -341,6 +341,11 @@ class DynamicBatchingServer:
         self._q: "_queue.Queue" = _queue.Queue()
         self._inflight: "_queue.Queue" = _queue.Queue(maxsize=max(1, pipeline_depth))
         self._closed = False
+        # Saturation-study instrumentation (VERDICT r3 next #6): per-batch
+        # (n_items, bucket, queue_wait_of_first_ms, dispatch_ms,
+        # complete_wait_ms) rows, appended by the worker threads.
+        self.instrument = instrument
+        self.batch_log: list[dict] = []
         # Pre-compile every bucket shape so first requests do not pay XLA
         for b in self._buckets():
             server.query(["warmup"] * b, k)
@@ -371,7 +376,7 @@ class DynamicBatchingServer:
         if self._closed:
             raise RuntimeError("DynamicBatchingServer is closed")
         fut: Future = Future()
-        self._q.put((text, fut))
+        self._q.put((text, fut, time.perf_counter()))
         if self._closed:
             # raced close(): the worker may already have drained its final
             # item — reject anything left so this future cannot hang forever
@@ -417,18 +422,28 @@ class DynamicBatchingServer:
                     self._closed = True
                     break
                 items.append(nxt)
-            texts = [t for t, _ in items]
+            texts = [it[0] for it in items]
             width = self._bucket(len(texts))
             padded = texts + [texts[-1]] * (width - len(texts))
+            t_dispatch = time.perf_counter()
             try:
                 si = self.server.query_async(padded, self.k)
             except Exception as e:  # pragma: no cover - surfacing only
-                for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                for it in items:
+                    if not it[1].done():
+                        it[1].set_exception(e)
                 continue
+            rec = None
+            if self.instrument:
+                rec = {"n": len(items), "bucket": width,
+                       "first_queue_wait_ms":
+                           (t_dispatch - items[0][2]) * 1e3,
+                       "dispatch_ms":
+                           (time.perf_counter() - t_dispatch) * 1e3,
+                       "t_dispatch": t_dispatch}
+                self.batch_log.append(rec)
             # blocks when pipeline_depth batches are already in flight
-            self._inflight.put((si, items))
+            self._inflight.put((si, items, rec))
         self._inflight.put(None)
         self._drain_rejected()
 
@@ -437,15 +452,18 @@ class DynamicBatchingServer:
             entry = self._inflight.get()
             if entry is None:
                 return
-            si, items = entry
+            si, items, rec = entry
             try:
                 scores, ids = self.server.materialize(si)
-                for j, (_, fut) in enumerate(items):
-                    fut.set_result((scores[j], ids[j]))
+                if rec is not None:
+                    rec["complete_wait_ms"] = (
+                        time.perf_counter() - rec["t_dispatch"]) * 1e3
+                for j, it in enumerate(items):
+                    it[1].set_result((scores[j], ids[j]))
             except Exception as e:  # pragma: no cover - surfacing only
-                for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                for it in items:
+                    if not it[1].done():
+                        it[1].set_exception(e)
 
     def close(self):
         self._closed = True
@@ -463,9 +481,28 @@ def measure_dynamic_batching(
     seed: int = 0,
 ) -> dict[str, float]:
     """Open-loop load test: Poisson arrivals at ``offered_qps``; returns
-    p50/p99 end-to-end request latency and achieved throughput."""
+    p50/p99 end-to-end request latency and achieved throughput.
+
+    Fixed for the round-3 saturation mystery (VERDICT r3 weak #8): the old
+    generator paced with RELATIVE ``time.sleep(gap)`` per request, so OS
+    timer granularity (~1ms+) plus per-submit Python cost accumulated into
+    the schedule — at 1000 offered QPS the generator itself could only
+    submit ~600/s, which read as the server "plateauing at 60%". Arrivals
+    are now paced against an ABSOLUTE schedule (lag never compounds) and
+    ``generator_lag_*`` reports how far submits ran behind it, separating
+    load-generator saturation from server saturation. ``achieved_qps`` is
+    the completion rate over first-submit -> last-completion (the old
+    number divided by a wall that included the final drain loop). The
+    dispatch/materialize threads are primed with a few throwaway requests
+    first — the constructor pre-compiles every bucket shape, but the first
+    materialize after an idle tunnel still pays a wakeup round trip that
+    used to show up as a fake p99 "warmup tail"."""
     rng = np.random.default_rng(seed)
-    gaps = rng.exponential(1.0 / offered_qps, n_requests)
+    # Prime the dispatch+completion pipeline (not the compile cache —
+    # __init__ already did that): first post-idle device round trip.
+    for f in [batcher.submit(texts[0]) for _ in range(4)]:
+        f.result(timeout=30)
+    arrivals = np.cumsum(rng.exponential(1.0 / offered_qps, n_requests))
     futs, done_at = [], [0.0] * n_requests
     t_submit = [0.0] * n_requests
 
@@ -478,18 +515,46 @@ def measure_dynamic_batching(
 
     t_start = time.perf_counter()
     for i in range(n_requests):
-        time.sleep(max(0.0, float(gaps[i])))
+        target = t_start + float(arrivals[i])
+        delay = target - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
         t_submit[i] = time.perf_counter()
         f = batcher.submit(texts[i % len(texts)])
         f.add_done_callback(_mark(i))
         futs.append(f)
     for f in futs:
         f.result(timeout=30)
-    wall = time.perf_counter() - t_start
     lat = (np.asarray(done_at) - np.asarray(t_submit)) * 1e3
+    lag = (np.asarray(t_submit) - (t_start + arrivals)) * 1e3
+    span = max(done_at) - t_start
     return {
         "offered_qps": offered_qps,
-        "achieved_qps": n_requests / wall,
+        "achieved_qps": n_requests / span,
         "p50_ms": float(np.percentile(lat, 50)),
         "p99_ms": float(np.percentile(lat, 99)),
+        "generator_lag_p50_ms": float(np.percentile(lag, 50)),
+        "generator_lag_p99_ms": float(np.percentile(lag, 99)),
     }
+
+
+def summarize_batch_log(batch_log: list) -> dict[str, float]:
+    """Aggregate DynamicBatchingServer(instrument=True) rows: where does a
+    request's time go (queue wait vs dispatch vs device round trip), and how
+    full are the micro-batches."""
+    if not batch_log:
+        return {}
+    n = np.asarray([r["n"] for r in batch_log], np.float64)
+    out = {
+        "batches": len(batch_log),
+        "mean_batch_size": float(n.mean()),
+        "p90_batch_size": float(np.percentile(n, 90)),
+        "mean_bucket_fill": float(np.mean(
+            [r["n"] / r["bucket"] for r in batch_log])),
+    }
+    for key in ("first_queue_wait_ms", "dispatch_ms", "complete_wait_ms"):
+        vals = np.asarray([r[key] for r in batch_log if key in r])
+        if len(vals):
+            out[f"{key}_p50"] = float(np.percentile(vals, 50))
+            out[f"{key}_p99"] = float(np.percentile(vals, 99))
+    return out

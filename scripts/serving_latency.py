@@ -40,8 +40,11 @@ def main():
     ap.add_argument("--q-len", type=int, default=64)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-calls", type=int, default=100)
-    ap.add_argument("--loads", default="50,200,1000",
+    ap.add_argument("--loads", default="50,200,500,1000,2000,4000",
                     help="offered QPS points for the dynamic-batching sweep")
+    ap.add_argument("--out", default=None,
+                    help="also write the summary JSON here (docs-lockstep: "
+                         "PERFORMANCE.md cites committed results/*.json)")
     args = ap.parse_args()
     if jax.default_backend() != "tpu":
         args.corpus, args.tower_layers, args.n_calls = 5000, 2, 20
@@ -54,6 +57,7 @@ def main():
         DynamicBatchingServer,
         measure_dynamic_batching,
         measure_latency_percentiles,
+        summarize_batch_log,
     )
     from lightretriever_tpu.models import decoder
     from lightretriever_tpu.models.config import DecoderConfig
@@ -107,15 +111,23 @@ def main():
 
     # pipeline_depth bounds the dispatch->completion hand-off queue; even
     # depth=1 overlaps one in-flight batch with the next batch's formation
-    # (the pre-pipelining server had zero overlap).
+    # (the pre-pipelining server had zero overlap). instrument=True logs
+    # per-batch queue-wait / dispatch / device-round-trip so the saturation
+    # knee can be attributed (VERDICT r3 next #6).
     for depth in (1, 2, 4):
         batcher = DynamicBatchingServer(server, k=args.k, max_batch=64,
-                                        max_wait_ms=2.0, pipeline_depth=depth)
+                                        max_wait_ms=2.0, pipeline_depth=depth,
+                                        instrument=True)
         try:
-            out[f"dynamic_batching_depth{depth}"] = [
-                measure_dynamic_batching(batcher, texts, float(q),
-                                         n_requests=min(4 * int(float(q)), 400))
-                for q in args.loads.split(",")]
+            rows = []
+            for q in args.loads.split(","):
+                batcher.batch_log.clear()
+                row = measure_dynamic_batching(
+                    batcher, texts, float(q),
+                    n_requests=min(4 * int(float(q)), 1200))
+                row["breakdown"] = summarize_batch_log(batcher.batch_log)
+                rows.append(row)
+            out[f"dynamic_batching_depth{depth}"] = rows
         finally:
             batcher.close()
 
@@ -127,6 +139,10 @@ def main():
         return round(o, 2) if isinstance(o, float) else o
 
     print(json.dumps(rnd(out), indent=2))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(rnd(out), f, indent=2)
 
 
 if __name__ == "__main__":
