@@ -135,6 +135,10 @@ def main():
         logging_steps=args.logging_steps, save_steps=0, temperature=1.0,
         distillation=args.distill, distill_coef=args.distill_coef,
         distill_temperature=args.distill_temp,
+        # B*n_psg pair batches of a >=640-hidden trunk OOM v5e HBM (18G>15.75G
+        # of layer-stacked [L,B*n,S,H] saves) without remat; recompute is
+        # cheap next to the CE matmuls.
+        gradient_checkpointing=True,
         bf16=on_tpu, async_logging=True, report_to=("jsonl",),
         log_file=os.path.join(args.out, "train_log.jsonl"))
     model = CrossEncoder(ma, ta, cfg, train_n_passages=args.n_passages,
