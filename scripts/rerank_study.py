@@ -132,7 +132,11 @@ def main():
     ta = TrainingArguments(
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10),
-        logging_steps=args.logging_steps, save_steps=0, temperature=1.0,
+        logging_steps=args.logging_steps, temperature=1.0,
+        # Checkpoint + auto-resume across tunnel flakes (with_tpu.sh
+        # relaunches the whole script; without this an 8k-step train
+        # restarts from zero on every wedge).
+        save_steps=max(args.steps // 4, 500), save_total_limit=2,
         distillation=args.distill, distill_coef=args.distill_coef,
         distill_temperature=args.distill_temp,
         # B*n_psg pair batches of a >=640-hidden trunk OOM v5e HBM (18G>15.75G
@@ -188,8 +192,13 @@ def main():
     raw_it = train_dataloader(examples, col, args.batch, workers=4)
     it = ({"pairs": b} for b in raw_it)  # RerankTrainer batch contract
     trainer = RerankTrainer(model, params, ta, train_iter=it)
+    from lightretriever_tpu.training.trainer import find_last_checkpoint
+
+    last = find_last_checkpoint(args.out)
+    if last:
+        print(f"resuming from {last}", flush=True)
     t0 = time.perf_counter()
-    logs = trainer.train()
+    logs = trainer.train(resume_from=last)
     trainer.close()
     print(f"train: {args.steps} steps in {time.perf_counter()-t0:.0f}s, "
           f"final loss {logs.get('loss', float('nan')):.4f}", flush=True)
