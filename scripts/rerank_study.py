@@ -61,6 +61,14 @@ def main():
     ap.add_argument("--easy-steps", type=int, default=0,
                     help="curriculum: first N steps with random negatives, "
                          "remaining steps with the mined BM25 hard negatives")
+    ap.add_argument("--mine-negatives-depth", type=int, default=0,
+                    help="train/serve distribution match (VERDICT r3 next "
+                         "#5): replace each group's file negatives with "
+                         "candidates drawn uniformly from the live BM25 "
+                         "top-N over the full corpus — the exact candidate "
+                         "population the CE reranks at serve time (the file "
+                         "negatives are the top-12 hardest, so the CE never "
+                         "sees the easy tail it must also order)")
     # --- round-3 levers (VERDICT r2 next #3) --------------------------------
     ap.add_argument("--init-trunk", default=None,
                     help="HF-layout pretrained decoder dir (lm_pretrain.py "
@@ -187,6 +195,53 @@ def main():
                 islice(_easy(examples), args.easy_steps * args.batch), hard)
         else:
             examples = _easy(examples)
+    if args.mine_negatives_depth:
+        # Serve-distribution negatives: BM25 top-N over the full corpus for
+        # each train query (batched searches, cached across stream cycles);
+        # the collator then samples train_n_passages-1 uniformly from the
+        # candidate list, so the CE trains on the same easy-to-hard mix it
+        # must order at serve time. ce_score for --distill is the live BM25
+        # score (the identical scorer the serve-time first stage uses).
+        mine_idx = BM25Index()
+        ids_m = list(corpus)
+        mine_idx.add([corpus[pid]["title"] + " " + corpus[pid]["text"]
+                      for pid in ids_m])
+        mine_cache: dict[str, list] = {}
+
+        def _mined(src, depth=args.mine_negatives_depth, chunk=128):
+            pend = []
+
+            def flush():
+                todo = [g for g in pend if g["query"] not in mine_cache]
+                if todo:
+                    sc, ix = mine_idx.search([g["query"] for g in todo], depth)
+                    sc, ix = np.asarray(sc), np.asarray(ix)
+                    # search returns integer-quantized impact dots (x100 the
+                    # float BM25 the teacher file's ce_score uses) — unscale
+                    # so positives and mined negatives share one scale.
+                    qf = float(mine_idx.quantization_factor)
+                    for g, row_s, row_i in zip(todo, sc, ix):
+                        mine_cache[g["query"]] = [
+                            (ids_m[j], float(s) / qf)
+                            for j, s in zip(row_i, row_s) if j >= 0]
+                for g in pend:
+                    pos_texts = {p["text"] for p in g["positive_passages"]}
+                    negs = [{**corpus[pid], "ce_score": s}
+                            for pid, s in mine_cache[g["query"]]
+                            if corpus[pid]["text"] not in pos_texts]
+                    if negs:
+                        g = dict(g)
+                        g["negative_passages"] = negs
+                    yield g
+                pend.clear()
+
+            for g in src:
+                pend.append(g)
+                if len(pend) >= chunk:
+                    yield from flush()
+            yield from flush()
+
+        examples = _mined(examples)
     col = RerankTrainCollator(tokenizer=tok, max_len=args.max_len,
                               train_n_passages=args.n_passages, seed=0)
     raw_it = train_dataloader(examples, col, args.batch, workers=4)
@@ -293,7 +348,16 @@ def main():
     shuffled = {qid: {pid: float(rng.random()) for pid in first[qid]}
                 for qid in qids}
 
+    # CE scores REPLACE the first-stage order (the reference's offline
+    # rerank contract, rerank/__main__.py:191-211) — plus a fused row:
+    # min-max linear CE+first-stage (0.5/0.5, the retriever's fusion
+    # family) which guards against CE overconfidence on the easy tail of
+    # deep candidate lists (the train/serve candidate-distribution
+    # mismatch VERDICT r3 next #5 asks to diagnose).
+    from lightretriever_tpu.retriever.fusion import fuse_scores_linear
+
     before, after = score(first), score(reranked)
+    fused_all = fuse_scores_linear([first, reranked], weights=(0.5, 0.5))
     depth_rows = {}
     if len(k_list) > 1:
         for k in sorted(k_list):
@@ -302,10 +366,15 @@ def main():
                     for qid in qids}
             rr_k = {qid: {pid: reranked[qid][pid] for pid in topk[qid]}
                     for qid in qids}
-            depth_rows[str(k)] = {"first": score(topk), "reranked": score(rr_k)}
+            fu_k = fuse_scores_linear([topk, rr_k], weights=(0.5, 0.5))
+            depth_rows[str(k)] = {"first": score(topk),
+                                  "reranked": score(rr_k),
+                                  "reranked_fused": score(fu_k)}
             print(f"depth {k}: first {depth_rows[str(k)]['first']} -> "
-                  f"reranked {depth_rows[str(k)]['reranked']}", flush=True)
+                  f"reranked {depth_rows[str(k)]['reranked']} / fused "
+                  f"{depth_rows[str(k)]['reranked_fused']}", flush=True)
     out = {"first_stage_bm25": before, "reranked": after,
+           "reranked_fused": score(fused_all),
            **({"depth_ablation": depth_rows} if depth_rows else {}),
            "random_shuffle_floor": score(shuffled),
            "spearman_ce_vs_bm25_median": round(float(np.median(cors)), 4),
@@ -338,7 +407,9 @@ def main():
                    for qid in qids}
             rr_run, _ = _rerank(run)
             out["neural_first_stages"][name] = {
-                "first": score(run), "reranked": score(rr_run)}
+                "first": score(run), "reranked": score(rr_run),
+                "reranked_fused": score(fuse_scores_linear(
+                    [run, rr_run], weights=(0.5, 0.5)))}
             print(f"[{name}] first {out['neural_first_stages'][name]['first']}"
                   f" -> reranked "
                   f"{out['neural_first_stages'][name]['reranked']}", flush=True)
