@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--n-calls", type=int, default=100)
     ap.add_argument("--loads", default="50,200,500,1000,2000,4000",
                     help="offered QPS points for the dynamic-batching sweep")
+    ap.add_argument("--max-batch", type=int, default=64,
+                    help="DynamicBatchingServer micro-batch cap: the r4 "
+                         "saturation study attributed the ~1.9k-QPS knee "
+                         "to max_batch x tunnel-RTT round trips, so the "
+                         "knee scales with this")
+    ap.add_argument("--depths", default="1,2,4",
+                    help="pipeline_depth values to sweep")
     ap.add_argument("--out", default=None,
                     help="also write the summary JSON here (docs-lockstep: "
                          "PERFORMANCE.md cites committed results/*.json)")
@@ -114,8 +121,9 @@ def main():
     # (the pre-pipelining server had zero overlap). instrument=True logs
     # per-batch queue-wait / dispatch / device-round-trip so the saturation
     # knee can be attributed (VERDICT r3 next #6).
-    for depth in (1, 2, 4):
-        batcher = DynamicBatchingServer(server, k=args.k, max_batch=64,
+    for depth in (int(d) for d in args.depths.split(",")):
+        batcher = DynamicBatchingServer(server, k=args.k,
+                                        max_batch=args.max_batch,
                                         max_wait_ms=2.0, pipeline_depth=depth,
                                         instrument=True)
         try:
