@@ -1,0 +1,58 @@
+#!/bin/bash
+# Restore round-4 trained artifacts from git (banked/) into .artifacts/ so the
+# round-5 study chain resumes at its first unfinished stage instead of
+# re-training ~5h of prerequisites. Background: the driver wipes untracked
+# files between rounds (round-3 .artifacts did not survive into round 4, which
+# cost this round its first ~6h of chip time re-pretraining lm_pt + q_s0).
+#
+# Banked (committed, ~1.0G):
+#   banked/lm_pt/          70M LM-pretrained trunk (24k+ steps) + tokenizer
+#   banked/q_s0/           seed-0 12k-step hybrid retriever (the workhorse:
+#                          rerank warm-start, tiered-real doc source, eval)
+#   banked/rr_mined/       headline reranker (serve-distribution negatives,
+#                          results/rr_mined_summary.json)
+#   banked/{docstring,cheader}_beir/  the EXACT eval benchmarks + gzipped
+#                          BM25-teacher train files (byte-identical eval
+#                          across rounds; a rebuild would shift BM25 baseline)
+#
+# Not banked (cheap to rebuild, done below or by the chain):
+#   pretrain_corpus.jsonl  harvest_pretrain_corpus.py, CPU, minutes (only
+#                          needed by the big_pt 164M stage)
+#
+# Usage: bash scripts/r5_restore.sh [artifacts_dir]   # then bash scripts/r4_chainC.sh
+set -eu
+cd "$(dirname "$0")/.."
+A=${1:-.artifacts}
+mkdir -p "$A"
+
+[ -d banked ] || { echo "no banked/ tree in repo"; exit 1; }
+
+for d in lm_pt q_s0 rr_mined; do
+  if [ ! -d "$A/$d" ]; then cp -r "banked/$d" "$A/$d"; echo "restored $A/$d"; fi
+done
+
+for b in docstring_beir cheader_beir; do
+  if [ ! -d "$A/$b" ]; then
+    mkdir -p "$A/$b/train"
+    cp -r "banked/$b/corpus.jsonl" "banked/$b/queries.jsonl" \
+          "banked/$b/qrels" "banked/$b/stats.json" "$A/$b/"
+    gunzip -c "banked/$b/train/docstrings_bm25.jsonl.gz" \
+      > "$A/$b/train/docstrings_bm25.jsonl"
+    echo "restored $A/$b"
+  fi
+done
+
+# Pretrain corpus (CPU-only, only needed by the big_pt stage).
+if [ ! -f "$A/pretrain_corpus.jsonl" ]; then
+  python scripts/harvest_pretrain_corpus.py \
+    --out "$A/pretrain_corpus.jsonl" --queries "$A/docstring_beir/queries.jsonl"
+fi
+
+# Mark the stages whose outputs are banked or already published in results/
+# so r4_chain*.sh skip straight to the first unfinished stage (q_s1).
+for m in harvest beir teacher q_s0 sparse_real_r4 rr_base rr_base_v2 rr_mined \
+         serving_r4 cheader_zs q_mrl lm_pt_fast; do
+  touch "$A/.done_$m"
+done
+
+echo "restore complete; next: bash scripts/r4_chainC.sh"
