@@ -57,6 +57,12 @@ def _time_search(idx, queries, k, n_iter, n_reps=3):
 
 def main():
     global N_DOCS, N_QUERIES
+    if jax.config.jax_platforms != "cpu":
+        # The driver runs bench.py at round end while a study chain may still
+        # hold the single tunnel slot; claim it BEFORE backend init (which
+        # would otherwise wedge on a futex — CLAUDE.md one-client rule).
+        from lightretriever_tpu.utils.chip_claim import claim_chip
+        claim_chip()
     backend = jax.default_backend()
     if backend != "tpu":  # debug runs off-TPU: shrink to stay tractable
         N_DOCS, N_QUERIES = 50_000, 256
