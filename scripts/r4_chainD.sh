@@ -1,0 +1,94 @@
+#!/bin/bash
+# Round-5 continuation chain: the remainder of r4_chainC.sh, REORDERED so
+# every stage that can complete does so before the single ~3.5h 164M arm
+# (big_pt 24k-step pretrain + q_big 12k-step fine-tune) starts — round 4
+# showed a round is cut by wall-clock mid-chain, and a half-trained big_pt
+# yields no quality number while starving 3 completable studies.
+#
+# Stage markers are shared with r4_chainC.sh ($A/.done_<name>), so running
+# this after scripts/r5_restore.sh skips everything already banked or
+# published. Order: third seed (#1a) -> second-domain fine-tune (#8 tail)
+# -> rerank ablation grid (#5 tail) -> 164M arm (#1c) -> big-backbone
+# rerank row.
+#
+# Usage: bash scripts/r5_restore.sh && bash scripts/r4_chainD.sh
+set -u
+cd "$(dirname "$0")/.."
+A=${1:-.artifacts}
+R=results
+W="bash scripts/with_tpu.sh"
+TRAIN="$A/docstring_beir/train/docstrings_bm25.jsonl"
+RRLR=${RRLR:-3e-4}
+mkdir -p "$A" "$R"
+
+stage() { # stage <name> <cmd...>
+  local name=$1; shift
+  if [ -f "$A/.done_$name" ]; then echo "[r4D] $name: done, skipping"; return 0; fi
+  echo "[r4D] $name: start $(date -u +%H:%M:%S)"
+  "$@"
+  local rc=$?
+  if [ $rc -ne 0 ]; then echo "[r4D] $name FAILED rc=$rc"; exit $rc; fi
+  touch "$A/.done_$name"
+  echo "[r4D] $name: ok $(date -u +%H:%M:%S)"
+}
+
+publish() { # publish <src_json> <dst_name>  (idempotent)
+  [ -f "$1" ] && cp "$1" "$R/$2" && echo "[r4D] published $R/$2"
+}
+
+# --- anything chainC left mid-flight resumes first (same markers) -----------
+stage q_proj $W python scripts/quality_study.py --data "$A/docstring_beir" \
+  --out "$A/q_proj" --init-trunk "$A/lm_pt" --distill --train-file "$TRAIN" \
+  --steps 12000 --seed 0 --sparse-projector linear
+publish "$A/q_proj/quality_summary.json" q_proj_quality_summary.json
+
+stage q_mrl_r4 $W python scripts/quality_study.py --data "$A/docstring_beir" \
+  --out "$A/q_mrl_r4" --init-trunk "$A/lm_pt" --distill --train-file "$TRAIN" \
+  --steps 12000 --seed 0 --systems dense --mrl-dims 64,128,256,384,512 \
+  --save-embs
+publish "$A/q_mrl_r4/quality_summary.json" q_mrl_r4_quality_summary.json
+
+# --- third seed (#1a: makes it seeds 0/1/2 + the r3 trunk-regen sample) ------
+stage q_s2 $W python scripts/quality_study.py --data "$A/docstring_beir" \
+  --out "$A/q_s2" --init-trunk "$A/lm_pt" --distill --train-file "$TRAIN" \
+  --steps 12000 --seed 2
+publish "$A/q_s2/quality_summary.json" q_s2_quality_summary.json
+
+# --- second-domain fine-tune (transfer column, #8 tail) ----------------------
+stage cheader_ft $W python scripts/quality_study.py --data "$A/cheader_beir" \
+  --out "$A/q_cheader_ft" --init-trunk "$A/lm_pt" --distill \
+  --train-file "$A/cheader_beir/train/docstrings_bm25.jsonl" --steps 4000 \
+  --seed 0
+publish "$A/q_cheader_ft/quality_summary.json" q_cheader_ft_quality_summary.json
+
+# --- rerank ablation grid (#5): group size / distill weight ------------------
+stage rr_np16 $W python scripts/rerank_study.py --data "$A/docstring_beir" \
+  --out "$A/rr_np16" --init-trunk "$A/q_s0" --tokenizer "$A/q_s0/tokenizer" \
+  --distill --n-passages 16 --batch 8 --steps 8000 --lr "$RRLR" \
+  --train-file "$TRAIN" --first-k-list 10,25,50,100
+publish "$A/rr_np16/rerank_summary.json" rr_np16_summary.json
+
+stage rr_dw $W python scripts/rerank_study.py --data "$A/docstring_beir" \
+  --out "$A/rr_dw" --init-trunk "$A/q_s0" --tokenizer "$A/q_s0/tokenizer" \
+  --distill --distill-coef 0.3 --n-passages 8 --steps 8000 --lr "$RRLR" \
+  --train-file "$TRAIN" --first-k-list 10,25,50,100
+publish "$A/rr_dw/rerank_summary.json" rr_dw_summary.json
+
+# --- 164M trunk scale-up, exact recipe (#1c) — the long arm, last -------------
+stage big_pt $W python scripts/lm_pretrain.py --data "$A/pretrain_corpus.jsonl" \
+  --extra-corpus "$A/docstring_beir/corpus.jsonl" --out "$A/lm_pt_big" \
+  --hidden 896 --layers 14 --heads 14 --kv-heads 7 --intermediate 2688 \
+  --steps 24000
+stage q_big $W python scripts/quality_study.py --data "$A/docstring_beir" \
+  --out "$A/q_big" --init-trunk "$A/lm_pt_big" --distill --train-file "$TRAIN" \
+  --steps 12000 --seed 0
+publish "$A/q_big/quality_summary.json" q_big_quality_summary.json
+
+stage rr_big $W python scripts/rerank_study.py --data "$A/docstring_beir" \
+  --out "$A/rr_big" --init-trunk "$A/q_big" --tokenizer "$A/q_big/tokenizer" \
+  --distill --n-passages 8 --steps 8000 --lr "$RRLR" --train-file "$TRAIN" \
+  --first-k-list 10,25,50,100 \
+  --rerank-predictions "$A/q_big/predictions.json.gz"
+publish "$A/rr_big/rerank_summary.json" rr_big_summary.json
+
+echo "[r4D] all stages complete $(date -u +%H:%M:%S)"

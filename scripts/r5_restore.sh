@@ -49,10 +49,20 @@ if [ ! -f "$A/pretrain_corpus.jsonl" ]; then
 fi
 
 # Mark the stages whose outputs are banked or already published in results/
-# so r4_chain*.sh skip straight to the first unfinished stage (q_s1).
+# so r4_chain*.sh skip straight to the first unfinished stage.
 for m in harvest beir teacher q_s0 sparse_real_r4 rr_base rr_base_v2 rr_mined \
          serving_r4 cheader_zs q_mrl lm_pt_fast; do
   touch "$A/.done_$m"
 done
+# Quality/rerank stages publish results/<stage>_{quality_,rerank_}summary.json
+# on completion — a committed summary IS the done evidence (docs-lockstep),
+# so derive those markers instead of hand-listing them.
+for f in results/*_quality_summary.json results/*_summary.json; do
+  [ -f "$f" ] || continue
+  s=$(basename "$f"); s=${s%_quality_summary.json}; s=${s%_summary.json}
+  case "$s" in q_s1|q_s2|q_proj|q_big|q_mrl_r4|q_cheader_ft|rr_np16|rr_dw|rr_big)
+    touch "$A/.done_$s";;
+  esac
+done
 
-echo "restore complete; next: bash scripts/r4_chainC.sh"
+echo "restore complete; next: bash scripts/r4_chainD.sh (priority-reordered)"
