@@ -20,6 +20,9 @@ W="bash scripts/with_tpu.sh"
 TRAIN="$A/docstring_beir/train/docstrings_bm25.jsonl"
 RRLR=${RRLR:-3e-4}
 mkdir -p "$A" "$R"
+# Record the chain root pid so bench.py's claim_chip() preflight can free the
+# tunnel slot at round end (utils/chip_claim.py discovers /tmp/*.pid roots).
+echo $$ > /tmp/chain.pid
 
 stage() { # stage <name> <cmd...>
   local name=$1; shift
