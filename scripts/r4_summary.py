@@ -76,6 +76,20 @@ def main():
             for s in SYSTEMS if runs[abl].get("metrics", {}).get(s)}
         agg[abl]["params_m"] = runs[abl].get("params_m")
 
+    # MRL sweep + spectrum (q_mrl_r4 stage): fold into the aggregate so the
+    # PERFORMANCE.md table cites one artifact for the whole quality story.
+    mrl_path = os.path.join(args.results, "q_mrl_r4_quality_summary.json")
+    if os.path.exists(mrl_path):
+        mrl = load(mrl_path)
+        if mrl.get("mrl_sweep"):
+            agg["mrl"] = {
+                "sweep": {d: {"NDCG@10": m.get("NDCG@10"),
+                              "Recall@100": m.get("Recall@100")}
+                          for d, m in mrl["mrl_sweep"].items()},
+                "spectrum": mrl.get("spectrum", {}),
+                "den_full": grab(mrl, "den", "NDCG@10"),
+            }
+
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(agg, f, indent=2)
@@ -98,6 +112,14 @@ def main():
             f"[{fmt(nd.get('min'))}..{fmt(nd.get('max'))}] "
             f"| {fmt(rc.get('mean'))} | {fmt(proj)} | {fmt(big)} |")
     print("\n".join(lines))
+    if "mrl" in agg:
+        print("\n| MRL dim | NDCG@10 | Recall@100 |\n|---|---|---|")
+        for d, m in agg["mrl"]["sweep"].items():
+            print(f"| {d} | {fmt(m['NDCG@10'])} | {fmt(m['Recall@100'])} |")
+        sp = agg["mrl"]["spectrum"]
+        if sp:
+            print(f"spectrum: PR={sp.get('participation_ratio', 0):.1f} "
+                  f"rank90={sp.get('rank90')} rank99={sp.get('rank99')}")
     print(f"\nwrote {args.out} ({len(seed_names)} seed runs)")
 
 
