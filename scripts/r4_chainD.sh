@@ -51,6 +51,14 @@ stage q_mrl_r4 $W python scripts/quality_study.py --data "$A/docstring_beir" \
   --save-embs
 publish "$A/q_mrl_r4/quality_summary.json" q_mrl_r4_quality_summary.json
 
+# --- replicate the round-4 headline at a second seed -------------------------
+# q_proj (seed 0) put pure-neural den_spr 0.554 above BM25 0.536 via the
+# lm_head-initialized decoupled sparse projector; one sample is not a claim.
+stage q_proj_s1 $W python scripts/quality_study.py --data "$A/docstring_beir" \
+  --out "$A/q_proj_s1" --init-trunk "$A/lm_pt" --distill --train-file "$TRAIN" \
+  --steps 12000 --seed 1 --sparse-projector linear
+publish "$A/q_proj_s1/quality_summary.json" q_proj_s1_quality_summary.json
+
 # --- third seed (#1a: makes it seeds 0/1/2 + the r3 trunk-regen sample) ------
 stage q_s2 $W python scripts/quality_study.py --data "$A/docstring_beir" \
   --out "$A/q_s2" --init-trunk "$A/lm_pt" --distill --train-file "$TRAIN" \

@@ -67,7 +67,7 @@ def main():
         if row:
             agg["systems"][s] = row
 
-    for abl in ("q_proj", "q_big"):
+    for abl in ("q_proj", "q_proj_s1", "q_big"):
         if abl not in runs:
             continue
         agg[abl] = {
