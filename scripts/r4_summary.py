@@ -35,7 +35,8 @@ def main():
     args = ap.parse_args()
 
     runs = {}
-    for name in ("q_s0", "q_s1", "q_s2", "q_proj", "q_big", "q_r3b"):
+    for name in ("q_s0", "q_s1", "q_s2", "q_proj", "q_proj_s1", "q_big",
+                 "q_r3b"):
         p = os.path.join(args.results, f"{name}_quality_summary.json")
         if os.path.exists(p):
             runs[name] = load(p)
