@@ -27,7 +27,8 @@ mkdir -p "$A"
 
 [ -d banked ] || { echo "no banked/ tree in repo"; exit 1; }
 
-for d in lm_pt q_s0 rr_mined; do
+for d in lm_pt q_s0 q_proj rr_mined; do
+  [ -d "banked/$d" ] || continue
   if [ ! -d "$A/$d" ]; then cp -r "banked/$d" "$A/$d"; echo "restored $A/$d"; fi
 done
 
