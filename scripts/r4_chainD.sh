@@ -51,6 +51,22 @@ stage q_mrl_r4 $W python scripts/quality_study.py --data "$A/docstring_beir" \
   --save-embs
 publish "$A/q_mrl_r4/quality_summary.json" q_mrl_r4_quality_summary.json
 
+# --- fully-neural retrieve+rerank on the q_proj first stage ------------------
+# den_spr 0.554 already beats BM25 0.536 BEFORE reranking; rerank its top-k
+# with the trained rr_mined CE (eval-only: no retraining, ~20 min of chip).
+# Seed the out dir from rr_mined's saved model (checkpoints if live, the
+# HF-layout model/ from banked/ otherwise — eval-only handles both).
+if [ ! -d "$A/rr_proj/model" ] && [ -d "$A/rr_mined/model" ]; then
+  mkdir -p "$A/rr_proj" && cp -r "$A/rr_mined/model" "$A/rr_proj/model"
+fi
+stage rr_proj $W python scripts/rerank_study.py --data "$A/docstring_beir" \
+  --out "$A/rr_proj" --init-trunk "$A/q_s0" --tokenizer "$A/q_s0/tokenizer" \
+  --n-passages 8 --steps 8000 --train-file "$TRAIN" --eval-only \
+  --first-k-list 10,25,50,100 \
+  --rerank-predictions "$A/q_proj/predictions.json.gz" \
+  --rerank-systems den,den_spr,emb_tok
+publish "$A/rr_proj/rerank_summary.json" rr_proj_summary.json
+
 # --- replicate the round-4 headline at a second seed -------------------------
 # q_proj (seed 0) put pure-neural den_spr 0.554 above BM25 0.536 via the
 # lm_head-initialized decoupled sparse projector; one sample is not a claim.

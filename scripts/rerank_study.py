@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--rerank-systems", default="den,den_spr",
                     help="comma list of systems from --rerank-predictions to "
                          "use as first stages")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training: load the last checkpoint under "
+                         "--out and run the eval sections (rerank a new "
+                         "first stage with an already-trained CE)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -253,11 +257,34 @@ def main():
     if last:
         print(f"resuming from {last}", flush=True)
     t0 = time.perf_counter()
-    logs = trainer.train(resume_from=last)
+    if args.eval_only:
+        # Re-evaluate a finished run (e.g. against a NEW --rerank-predictions
+        # first stage) without the train-stream fast-forward: load the final
+        # checkpoint, or fall back to the HF-layout <out>/model save (the
+        # form banked/ keeps across rounds — no optimizer state needed for
+        # eval), and skip straight to the eval sections.
+        mdir = os.path.join(args.out, "model")
+        if last:
+            trainer.load_checkpoint(last)
+            params_t = jax.device_get(trainer.state.params)
+            print(f"eval-only: loaded {last}", flush=True)
+        else:
+            assert os.path.isdir(mdir), \
+                "--eval-only needs a checkpoint or saved model/ under --out"
+            from lightretriever_tpu.models.hf_loader import load_decoder_params
+
+            params_t = dict(params)
+            params_t["lm"] = load_decoder_params(mdir, cfg, jnp.float32)
+            params_t["score"] = {"kernel": jnp.asarray(
+                np.load(os.path.join(mdir, "score_head.npy")))}
+            print(f"eval-only: loaded {mdir}", flush=True)
+        logs = {}
+    else:
+        logs = trainer.train(resume_from=last)
+        params_t = jax.device_get(trainer.state.params)
     trainer.close()
     print(f"train: {args.steps} steps in {time.perf_counter()-t0:.0f}s, "
           f"final loss {logs.get('loss', float('nan')):.4f}", flush=True)
-    params_t = jax.device_get(trainer.state.params)
     model.save(params_t, os.path.join(args.out, "model"))
     tok.save_pretrained(os.path.join(args.out, "model"))
 
@@ -277,7 +304,7 @@ def main():
 
     hscores = np.asarray(jax.device_get(
         jax.jit(lambda p, b: model.score(p, b))(
-            trainer.state.params,
+            params_t,
             {k: _jnp.asarray(v) for k, v in hbatch.items()
              if k != "ce_scores"})), np.float32)
     hs = hscores.reshape(-1, args.n_passages)
