@@ -144,8 +144,11 @@ class CrossEncoder:
         if "score" in params:
             import numpy as np
 
+            # fp32 on disk: numpy round-trips bf16 as a void dtype ("|V2"),
+            # which jnp.asarray rejects at load time.
             np.save(os.path.join(output_dir, "score_head.npy"),
-                    np.asarray(jax.device_get(params["score"]["kernel"])))
+                    np.asarray(jax.device_get(
+                        params["score"]["kernel"])).astype(np.float32))
 
 
 class CrossEncoderLogits(CrossEncoder):

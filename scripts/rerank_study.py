@@ -275,8 +275,12 @@ def main():
 
             params_t = dict(params)
             params_t["lm"] = load_decoder_params(mdir, cfg, jnp.float32)
-            params_t["score"] = {"kernel": jnp.asarray(
-                np.load(os.path.join(mdir, "score_head.npy")))}
+            head = np.load(os.path.join(mdir, "score_head.npy"))
+            if head.dtype.kind == "V":  # raw bf16 from older saves
+                import ml_dtypes
+
+                head = head.view(ml_dtypes.bfloat16).astype(np.float32)
+            params_t["score"] = {"kernel": jnp.asarray(head)}
             print(f"eval-only: loaded {mdir}", flush=True)
         logs = {}
     else:
