@@ -100,18 +100,19 @@ def main():
         return "-" if v is None else f"{v:.3f}"
 
     lines = ["| System | NDCG@10 seeds mean [min..max] | R@100 mean | "
-             "proj-init | 164M |", "|---|---|---|---|---|"]
+             "proj-init s0 | proj-init s1 | 164M |", "|---|---|---|---|---|---|"]
     for s in SYSTEMS:
         if s not in agg["systems"]:
             continue
         nd = agg["systems"][s].get("NDCG@10", {})
         rc = agg["systems"][s].get("Recall@100", {})
         proj = (agg.get("q_proj", {}).get(s) or {}).get("NDCG@10")
+        proj1 = (agg.get("q_proj_s1", {}).get(s) or {}).get("NDCG@10")
         big = (agg.get("q_big", {}).get(s) or {}).get("NDCG@10")
         lines.append(
             f"| {s} | {fmt(nd.get('mean'))} "
             f"[{fmt(nd.get('min'))}..{fmt(nd.get('max'))}] "
-            f"| {fmt(rc.get('mean'))} | {fmt(proj)} | {fmt(big)} |")
+            f"| {fmt(rc.get('mean'))} | {fmt(proj)} | {fmt(proj1)} | {fmt(big)} |")
     print("\n".join(lines))
     if "mrl" in agg:
         print("\n| MRL dim | NDCG@10 | Recall@100 |\n|---|---|---|")
