@@ -162,3 +162,31 @@ def test_rerank_collator_ce_scores_and_distill(tok):
                           train_n_passages=2)
     out2 = model2.forward(params, batch, training=True)
     assert "distill_klloss" not in out2.logs
+
+
+def test_score_head_npy_roundtrip(tmp_path):
+    """score_head.npy must load back as a numeric dtype even when params are
+    bf16 (numpy round-trips raw bf16 as void "|V2", which jnp.asarray
+    rejects — the eval-only reload path in rerank_study depends on this)."""
+    import jax.numpy as jnp
+
+    model = CrossEncoder(_margs(), TrainingArguments(), TINY,
+                         train_n_passages=2)
+    params = model.init_params(jax.random.key(0), dtype=jnp.bfloat16)
+    model.save(params, str(tmp_path))
+    head = np.load(tmp_path / "score_head.npy")
+    assert head.dtype == np.float32
+    ref = np.asarray(jax.device_get(params["score"]["kernel"])
+                     ).astype(np.float32)
+    np.testing.assert_allclose(head, ref)
+    jnp.asarray(head)  # must not raise
+
+    # legacy raw-bf16 saves: the documented view-cast recovers the values
+    import ml_dtypes
+
+    np.save(tmp_path / "legacy.npy",
+            np.asarray(jax.device_get(params["score"]["kernel"])))
+    raw = np.load(tmp_path / "legacy.npy")
+    if raw.dtype.kind == "V":
+        fixed = raw.view(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_allclose(fixed, ref)
