@@ -43,6 +43,18 @@ for b in docstring_beir cheader_beir; do
   fi
 done
 
+# Mid-flight checkpoints banked by scripts/bank_inflight.sh: restore into the
+# stage's out dir so quality_study/rerank_study auto-resume from the newest
+# checkpoint-<N>/ (training.trainer.find_last_checkpoint) instead of step 0.
+if [ -d banked/inflight ]; then
+  for d in banked/inflight/*/; do
+    s=$(basename "$d")
+    if [ ! -d "$A/$s" ]; then
+      cp -r "$d" "$A/$s"; echo "restored in-flight $A/$s"
+    fi
+  done
+fi
+
 # Pretrain corpus (CPU-only, only needed by the big_pt stage).
 if [ ! -f "$A/pretrain_corpus.jsonl" ]; then
   python scripts/harvest_pretrain_corpus.py \
