@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Citations allowed to be absent (stages still queued in the running study
 # chain). MUST be emptied before the round closes.
-PENDING: set[str] = {"results/sparse_real_r4.json"}  # chain stage queued
+PENDING: set[str] = set()  # chain stages queued; add paths only while queued
 
 _CITE = re.compile(r"(?:results|BENCH|MULTICHIP)[A-Za-z0-9_./-]*\.json[l]?")
 
