@@ -65,6 +65,10 @@ def main() -> None:
     ap.add_argument("--predictions", required=True)
     ap.add_argument("--systems", default="den,den_spr,emb_tok")
     ap.add_argument("--baseline", default="bm25")
+    ap.add_argument("--baseline-predictions", default=None,
+                    help="read the baseline system from a DIFFERENT "
+                         "predictions file (e.g. the tied-head run) for "
+                         "direct ablation contrasts on the same queries")
     ap.add_argument("--fused", default="",
                     help="comma list of neural systems to fuse with the "
                          "baseline (min-max linear, quality_study protocol: "
@@ -83,7 +87,11 @@ def main() -> None:
     with gzip.open(args.predictions, "rt") as f:
         preds = json.load(f)
 
-    base = preds[args.baseline]
+    if args.baseline_predictions:
+        with gzip.open(args.baseline_predictions, "rt") as f:
+            base = json.load(f)[args.baseline]
+    else:
+        base = preds[args.baseline]
     pq_base = per_query_ndcg_at_k(qrels, base, args.k)
     qids = sorted(q for q in pq_base if q in qrels)
 
