@@ -29,6 +29,7 @@ from .converter import (
     convert_sparse_reps_to_pseudo_text,
 )
 from .embedding_bag import construct_embedding_bag
+from .utils import StepWatchdog
 
 logger = logging.getLogger(__name__)
 
@@ -226,17 +227,26 @@ class SpmdEncoder:
         # (exact_search_torchrpc.py:73-81).
         outs: list = []
         pending = None  # (device reps or dict of arrays, host_batch, n_valid)
-        for lo in range(0, len(items), batch_size):
-            chunk, n_valid = self._pad_batch(items[lo: lo + batch_size], batch_size)
-            host_batch = collator(chunk)
-            dispatched = self._dispatch_batch(host_batch, encode_is_query)
+        # Mid-run wedge guard (LR_STEP_WATCHDOG_S; utils.StepWatchdog): a
+        # wedged tunnel blocks the next materialize readback forever.
+        wd = StepWatchdog.from_env(name="encode")
+        try:
+            for lo in range(0, len(items), batch_size):
+                chunk, n_valid = self._pad_batch(items[lo: lo + batch_size], batch_size)
+                host_batch = collator(chunk)
+                dispatched = self._dispatch_batch(host_batch, encode_is_query)
+                if pending is not None:
+                    outs.append(self._materialize(
+                        *pending, encode_is_query, **encoding_kwargs))
+                pending = (dispatched, host_batch, n_valid)
+                if wd is not None:
+                    wd.beat()
             if pending is not None:
                 outs.append(self._materialize(
                     *pending, encode_is_query, **encoding_kwargs))
-            pending = (dispatched, host_batch, n_valid)
-        if pending is not None:
-            outs.append(self._materialize(
-                *pending, encode_is_query, **encoding_kwargs))
+        finally:
+            if wd is not None:
+                wd.stop()
         return _concat_outputs(outs)
 
     def _dispatch_batch(self, host_batch: dict, encode_is_query: bool):

@@ -434,27 +434,38 @@ class ContrastiveTrainer:
                     next(it)
                 except StopIteration:
                     break
-        for step_i in range(start, ta.max_steps):
-            try:
-                batch = [next(it) for _ in range(n_accum)] if n_accum > 1 else next(it)
-            except StopIteration:
-                logger.info("data iterator exhausted at step %d", step_i)
-                break
-            logs = self.training_step(batch)
-            self._accumulate_logs(logs)
-            if (step_i + 1) % ta.logging_steps == 0:
-                last_logs = self._flush_logs(step_i + 1, t0)
-            if ta.eval_steps and (step_i + 1) % ta.eval_steps == 0 \
-                    and self.eval_batches:
-                eval_metrics = self.evaluate()
-                logger.info("eval @%d: %s", step_i + 1,
-                            {k: round(v, 4) for k, v in eval_metrics.items()})
-                self._emit_logs(step_i + 1,
-                                {f"eval_{k}": v for k, v in eval_metrics.items()})
-            if ta.save_steps and (step_i + 1) % ta.save_steps == 0:
-                self.save_checkpoint(
-                    os.path.join(ta.output_dir, f"checkpoint-{step_i + 1}"))
-                self._rotate_checkpoints()
+        # Mid-run wedge guard (LR_STEP_WATCHDOG_S; see StepWatchdog): beats
+        # on every dispatch — a healthy loop beats sub-second, a wedged
+        # tunnel blocks the next dispatch/readback and the beats stop.
+        from ..inference.utils import StepWatchdog
+        wd = StepWatchdog.from_env(name="train")
+        try:
+            for step_i in range(start, ta.max_steps):
+                try:
+                    batch = [next(it) for _ in range(n_accum)] if n_accum > 1 else next(it)
+                except StopIteration:
+                    logger.info("data iterator exhausted at step %d", step_i)
+                    break
+                logs = self.training_step(batch)
+                self._accumulate_logs(logs)
+                if (step_i + 1) % ta.logging_steps == 0:
+                    last_logs = self._flush_logs(step_i + 1, t0)
+                if ta.eval_steps and (step_i + 1) % ta.eval_steps == 0 \
+                        and self.eval_batches:
+                    eval_metrics = self.evaluate()
+                    logger.info("eval @%d: %s", step_i + 1,
+                                {k: round(v, 4) for k, v in eval_metrics.items()})
+                    self._emit_logs(step_i + 1,
+                                    {f"eval_{k}": v for k, v in eval_metrics.items()})
+                if ta.save_steps and (step_i + 1) % ta.save_steps == 0:
+                    self.save_checkpoint(
+                        os.path.join(ta.output_dir, f"checkpoint-{step_i + 1}"))
+                    self._rotate_checkpoints()
+                if wd is not None:
+                    wd.beat()
+        finally:
+            if wd is not None:
+                wd.stop()
         if self._log_accum:
             # Flush the tail so short runs (max_steps < logging_steps) still
             # report a final loss instead of an empty dict.

@@ -247,7 +247,12 @@ def main():
         matryoshka_dims=(None,) + mrl_dims,
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
-        save_steps=max(args.steps // 4, 500), save_total_limit=2,
+        # Tight checkpoint cadence: the tunnel can wedge mid-run every few
+        # thousand steps on a bad day (two q_proj_s1 attempts died at steps
+        # 2200 and 1500, both before a steps//4=3000 first checkpoint);
+        # 1000-step checkpoints cap a StepWatchdog relaunch's lost work at
+        # ~2.5 min of chip.
+        save_steps=min(1000, max(args.steps // 4, 500)), save_total_limit=2,
         temperature=args.temperature, bf16=on_tpu,
         clloss_coef=args.clloss_coef,
         distillation=args.distill, distill_coef=args.distill_coef,

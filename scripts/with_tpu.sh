@@ -14,6 +14,11 @@ for i in $(seq 1 40); do
   sleep 30
 done
 export LR_DEVICE_ALIVE_TIMEOUT=${LR_DEVICE_ALIVE_TIMEOUT:-75}
+# Mid-run wedge guard (round 4: a healthy job wedged at step ~2200 — zero
+# CPU, no exception, forever). Training/encode loops beat a StepWatchdog;
+# 900s of no progress -> exit 17 -> relaunched below, resumes from the
+# last checkpoint. 900 >> the worst legit gap (~5 min first-step compile).
+export LR_STEP_WATCHDOG_S=${LR_STEP_WATCHDOG_S:-900}
 for attempt in $(seq 1 12); do
   sleep 5
   "$@"
