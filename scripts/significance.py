@@ -62,7 +62,12 @@ def paired_bootstrap(deltas: np.ndarray, n_boot: int, seed: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
-    ap.add_argument("--predictions", required=True)
+    ap.add_argument("--predictions", required=True,
+                    help="predictions.json.gz, or a comma list of them from "
+                         "INDEPENDENT runs of the same recipe: per-query "
+                         "scores are averaged across runs before the "
+                         "bootstrap — the pooled test for 'the recipe (not "
+                         "one draw) beats the baseline'")
     ap.add_argument("--systems", default="den,den_spr,emb_tok")
     ap.add_argument("--baseline", default="bm25")
     ap.add_argument("--baseline-predictions", default=None,
@@ -84,32 +89,45 @@ def main() -> None:
     args = ap.parse_args()
 
     _, _, qrels = load_beir_dataset(args.data)
-    with gzip.open(args.predictions, "rt") as f:
-        preds = json.load(f)
+    preds_list = []
+    for path in args.predictions.split(","):
+        with gzip.open(path, "rt") as f:
+            preds_list.append(json.load(f))
+    preds = preds_list[0]
+
+    def avg_pq(run_results, qids=None):
+        """Per-query NDCG@k averaged over independent runs."""
+        pq_runs = [per_query_ndcg_at_k(qrels, r, args.k) for r in run_results]
+        keys = qids if qids is not None else pq_runs[0]
+        return {q: float(np.mean([r.get(q, 0.0) for r in pq_runs]))
+                for q in keys}
 
     if args.baseline_predictions:
         with gzip.open(args.baseline_predictions, "rt") as f:
-            base = json.load(f)[args.baseline]
+            base_runs = [json.load(f)[args.baseline]]
     else:
-        base = preds[args.baseline]
-    pq_base = per_query_ndcg_at_k(qrels, base, args.k)
+        base_runs = [pl[args.baseline] for pl in preds_list]
+    pq_base = avg_pq(base_runs)
     qids = sorted(q for q in pq_base if q in qrels)
 
     report = {
         "predictions": args.predictions,
+        "n_runs": len(preds_list),
         "baseline": args.baseline,
         "metric": f"NDCG@{args.k}",
         "baseline_mean": float(np.mean([pq_base[q] for q in qids])),
         "systems": {},
     }
     for sysname in args.systems.split(","):
-        if sysname not in preds:
+        sys_runs = [pl[sysname] for pl in preds_list if sysname in pl]
+        if not sys_runs:
             print(f"[skip] {sysname}: not in predictions", file=sys.stderr)
             continue
-        pq_sys = per_query_ndcg_at_k(qrels, preds[sysname], args.k)
-        d = np.array([pq_sys.get(q, 0.0) - pq_base[q] for q in qids])
+        pq_sys = avg_pq(sys_runs, qids)
+        d = np.array([pq_sys[q] - pq_base[q] for q in qids])
         row = paired_bootstrap(d, args.n_boot, args.seed)
-        row["system_mean"] = float(np.mean([pq_sys.get(q, 0.0) for q in qids]))
+        row["system_mean"] = float(np.mean([pq_sys[q] for q in qids]))
+        row["n_runs"] = len(sys_runs)
         row["wins"] = int((d > 0).sum())
         row["losses"] = int((d < 0).sum())
         row["ties"] = int((d == 0).sum())
@@ -124,7 +142,13 @@ def main() -> None:
 
         from lightretriever_tpu.retriever.fusion import fuse
 
-        summ = json.load(open(args.summary)) if args.summary else {}
+        # One summary per run (comma list), or one broadcast to all runs.
+        summs = ([json.load(open(p)) for p in args.summary.split(",")]
+                 if args.summary else [{}])
+        if len(summs) == 1:
+            summs = summs * len(preds_list)
+        assert len(summs) == len(preds_list), \
+            "--summary must be one file or one per --predictions run"
 
         def _is_dev(qid: str) -> bool:
             h = int(hashlib.sha1(str(qid).encode()).hexdigest(), 16)
@@ -139,30 +163,39 @@ def main() -> None:
                 print(f"[skip] fused {sysname}: not in predictions",
                       file=sys.stderr)
                 continue
-            w = (summ.get("metrics", summ)
-                 .get(f"{sysname}_bm25_lin", {}).get("best_w"))
-            if w is None:
-                # Re-sweep on the dev third (quality_study.py protocol);
-                # the holdout queries below never see this choice.
-                best = (-1.0, None)
-                qr_dev = {q: qrels[q] for q in dev}
-                for cand in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
-                    f_dev = fuse([sub(preds[sysname], dev), sub(base, dev)],
-                                 weights=[cand, 1.0 - cand])
-                    nd = float(np.mean(list(
-                        per_query_ndcg_at_k(qr_dev, f_dev, args.k).values())))
-                    if nd > best[0]:
-                        best = (nd, cand)
-                w = best[1]
-            fused_all = fuse([preds[sysname], base], weights=[w, 1.0 - w])
-            pq_f = per_query_ndcg_at_k(qrels, fused_all, args.k)
-            d = np.array([pq_f.get(q, 0.0) - pq_base[q] for q in hold])
+            fused_runs, ws = [], []
+            for run_i, (preds_r, summ) in enumerate(zip(preds_list, summs)):
+                if sysname not in preds_r:
+                    continue
+                base_r = base_runs[min(run_i, len(base_runs) - 1)]
+                w = (summ.get("metrics", summ)
+                     .get(f"{sysname}_bm25_lin", {}).get("best_w"))
+                if w is None:
+                    # Re-sweep on the dev third (quality_study.py protocol);
+                    # the holdout queries below never see this choice.
+                    best = (-1.0, None)
+                    qr_dev = {q: qrels[q] for q in dev}
+                    for cand in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+                        f_dev = fuse(
+                            [sub(preds_r[sysname], dev), sub(base_r, dev)],
+                            weights=[cand, 1.0 - cand])
+                        nd = float(np.mean(list(per_query_ndcg_at_k(
+                            qr_dev, f_dev, args.k).values())))
+                        if nd > best[0]:
+                            best = (nd, cand)
+                    w = best[1]
+                ws.append(w)
+                fused_runs.append(fuse([preds_r[sysname], base_r],
+                                       weights=[w, 1.0 - w]))
+            pq_f = avg_pq(fused_runs, qids)
+            d = np.array([pq_f[q] - pq_base[q] for q in hold])
             row = paired_bootstrap(d, args.n_boot, args.seed)
             row["system_mean_holdout"] = float(
-                np.mean([pq_f.get(q, 0.0) for q in hold]))
+                np.mean([pq_f[q] for q in hold]))
             row["baseline_mean_holdout"] = float(
                 np.mean([pq_base[q] for q in hold]))
-            row["best_w"] = w
+            row["best_w"] = ws if len(ws) > 1 else ws[0]
+            row["n_runs"] = len(fused_runs)
             row["wins"] = int((d > 0).sum())
             row["losses"] = int((d < 0).sum())
             row["ties"] = int((d == 0).sum())
