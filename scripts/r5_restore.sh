@@ -73,8 +73,10 @@ done
 for f in results/*_quality_summary.json results/*_summary.json; do
   [ -f "$f" ] || continue
   s=$(basename "$f"); s=${s%_quality_summary.json}; s=${s%_summary.json}
-  case "$s" in q_s1|q_s2|q_proj|q_proj_s1|rr_proj|q_big|q_mrl_r4|q_cheader_ft|rr_np16|rr_dw|rr_big)
-    touch "$A/.done_$s";;
+  case "$s" in
+    q_cheader_ft) touch "$A/.done_cheader_ft";;  # chainD stage name differs
+    q_s1|q_s2|q_proj|q_proj_s1|rr_proj|q_big|q_mrl_r4|rr_np16|rr_dw|rr_big)
+      touch "$A/.done_$s";;
   esac
 done
 
