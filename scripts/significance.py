@@ -183,7 +183,9 @@ def main() -> None:
                             qr_dev, f_dev, args.k).values())))
                         if nd > best[0]:
                             best = (nd, cand)
-                    w = best[1]
+                    # Degenerate dev split (e.g. toy sets where the hash
+                    # sends every query to holdout): equal-weight fallback.
+                    w = best[1] if best[1] is not None else 0.5
                 ws.append(w)
                 fused_runs.append(fuse([preds_r[sysname], base_r],
                                        weights=[w, 1.0 - w]))
