@@ -27,9 +27,12 @@ mkdir -p "$A"
 
 [ -d banked ] || { echo "no banked/ tree in repo"; exit 1; }
 
-for d in lm_pt q_s0 q_proj rr_mined; do
-  [ -d "banked/$d" ] || continue
-  if [ ! -d "$A/$d" ]; then cp -r "banked/$d" "$A/$d"; echo "restored $A/$d"; fi
+# Every banked model/stage dir restores as-is; the BEIR benchmarks and
+# in-flight checkpoints have their own handling below.
+for d in banked/*/; do
+  s=$(basename "$d")
+  case "$s" in docstring_beir|cheader_beir|inflight) continue;; esac
+  if [ ! -d "$A/$s" ]; then cp -r "banked/$s" "$A/$s"; echo "restored $A/$s"; fi
 done
 
 for b in docstring_beir cheader_beir; do
@@ -75,7 +78,7 @@ for f in results/*_quality_summary.json results/*_summary.json; do
   s=$(basename "$f"); s=${s%_quality_summary.json}; s=${s%_summary.json}
   case "$s" in
     q_cheader_ft) touch "$A/.done_cheader_ft";;  # chainD stage name differs
-    q_s1|q_s2|q_proj|q_proj_s1|rr_proj|q_big|q_mrl_r4|rr_np16|rr_dw|rr_big)
+    q_s1|q_s2|q_proj|q_proj_s1|rr_proj|rr_proj_s1|q_big|q_mrl_r4|rr_np16|rr_dw|rr_big)
       touch "$A/.done_$s";;
   esac
 done
