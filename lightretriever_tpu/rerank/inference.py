@@ -62,24 +62,35 @@ class RerankerEncoder:
         pending = None  # pipelined dispatch: collect batch i-1 while the
         # device runs batch i (a per-batch sync costs a full tunnel round
         # trip; overlapped, host tokenization rides under device compute)
-        for lo in range(0, len(pairs), bs):
-            chunk = pairs[lo: lo + bs]
-            n_valid = len(chunk)
-            if n_valid < bs:
-                chunk = chunk + [chunk[-1]] * (bs - n_valid)
-            batch = self.collator(chunk)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
+        # Mid-run wedge guard (LR_STEP_WATCHDOG_S; inference.utils
+        # .StepWatchdog): a wedged tunnel blocks the next readback forever.
+        from ..inference.utils import StepWatchdog
 
-                batch = shard_batch(self.mesh, batch)
-            scores = self._score_fn(self.params, batch)
+        wd = StepWatchdog.from_env(name="rerank-predict")
+        try:
+            for lo in range(0, len(pairs), bs):
+                chunk = pairs[lo: lo + bs]
+                n_valid = len(chunk)
+                if n_valid < bs:
+                    chunk = chunk + [chunk[-1]] * (bs - n_valid)
+                batch = self.collator(chunk)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    batch = shard_batch(self.mesh, batch)
+                scores = self._score_fn(self.params, batch)
+                if pending is not None:
+                    plo, pvalid, ps = pending
+                    out[plo: plo + pvalid] = np.asarray(ps, np.float32)[:pvalid]
+                pending = (lo, n_valid, scores)
+                if wd is not None:
+                    wd.beat()
             if pending is not None:
                 plo, pvalid, ps = pending
                 out[plo: plo + pvalid] = np.asarray(ps, np.float32)[:pvalid]
-            pending = (lo, n_valid, scores)
-        if pending is not None:
-            plo, pvalid, ps = pending
-            out[plo: plo + pvalid] = np.asarray(ps, np.float32)[:pvalid]
+        finally:
+            if wd is not None:
+                wd.stop()
         return out
 
 
