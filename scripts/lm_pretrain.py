@@ -221,25 +221,36 @@ def main():
     log_path = os.path.join(args.out, "train_log.jsonl")
     t0 = time.perf_counter()
     loss_dev = None
-    for step in range(start, args.steps):
-        rng = np.random.default_rng((args.seed << 20) + step)
-        offs = rng.integers(0, n_tok - S - 1, size=B)
-        blk = np.stack([tokens[o:o + S + 1] for o in offs]).astype(np.int32)
-        x, y = blk[:, :-1], blk[:, 1:]
-        params, opt_state, loss_dev = step_fn(params, opt_state, x, y)
-        if (step + 1) % args.log_steps == 0:
-            loss = float(loss_dev)  # sync point
-            dt = (time.perf_counter() - t0) / args.log_steps * 1000
-            t0 = time.perf_counter()
-            rec = {"step": step + 1, "loss": round(loss, 4),
-                   "ppl": round(float(np.exp(min(loss, 20))), 2),
-                   "ms_per_step": round(dt, 1),
-                   "lr": float(schedule(step))}
-            print(json.dumps(rec), flush=True)
-            with open(log_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-        if (step + 1) % args.ckpt_steps == 0 or step + 1 == args.steps:
-            save(step + 1, params, opt_state)
+    # Mid-run wedge guard (LR_STEP_WATCHDOG_S; inference.utils.StepWatchdog):
+    # the 24k-step pretrain is the longest single chip job in the chains — a
+    # wedged tunnel here must exit 17 and resume from ckpt.npz, not hang.
+    from lightretriever_tpu.inference.utils import StepWatchdog
+    wd = StepWatchdog.from_env(name="lm_pretrain")
+    try:
+        for step in range(start, args.steps):
+            rng = np.random.default_rng((args.seed << 20) + step)
+            offs = rng.integers(0, n_tok - S - 1, size=B)
+            blk = np.stack([tokens[o:o + S + 1] for o in offs]).astype(np.int32)
+            x, y = blk[:, :-1], blk[:, 1:]
+            params, opt_state, loss_dev = step_fn(params, opt_state, x, y)
+            if (step + 1) % args.log_steps == 0:
+                loss = float(loss_dev)  # sync point
+                dt = (time.perf_counter() - t0) / args.log_steps * 1000
+                t0 = time.perf_counter()
+                rec = {"step": step + 1, "loss": round(loss, 4),
+                       "ppl": round(float(np.exp(min(loss, 20))), 2),
+                       "ms_per_step": round(dt, 1),
+                       "lr": float(schedule(step))}
+                print(json.dumps(rec), flush=True)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if (step + 1) % args.ckpt_steps == 0 or step + 1 == args.steps:
+                save(step + 1, params, opt_state)
+            if wd is not None:
+                wd.beat()
+    finally:
+        if wd is not None:
+            wd.stop()
 
     # --- export HF layout for warm starts -----------------------------------
     model_dir = os.path.join(args.out, "model")
