@@ -20,7 +20,11 @@ SRC="$A/$STAGE"
 DST="banked/inflight/$STAGE"
 [ -d "$SRC" ] || { echo "no $SRC"; exit 1; }
 
-CKPT=$(ls -d "$SRC"/checkpoint-* 2>/dev/null | sort -t- -k2 -n | tail -1 || true)
+# Sort on the BASENAME's numeric step suffix: a dash anywhere in $A (e.g.
+# /tmp/my-run) would shift `sort -t- -k2` onto a non-numeric field and bank
+# an older checkpoint as "newest" (ADVICE r4 low).
+CKPT=$(ls -d "$SRC"/checkpoint-* 2>/dev/null \
+  | awk -F/ '{print $NF"\t"$0}' | sort -t- -k2 -n | cut -f2- | tail -1 || true)
 [ -n "$CKPT" ] || { echo "no checkpoint in $SRC yet"; exit 1; }
 
 rm -rf "$DST"

@@ -93,7 +93,6 @@ def main() -> None:
     for path in args.predictions.split(","):
         with gzip.open(path, "rt") as f:
             preds_list.append(json.load(f))
-    preds = preds_list[0]
 
     def avg_pq(run_results, qids=None):
         """Per-query NDCG@k averaged over independent runs."""
@@ -159,7 +158,9 @@ def main() -> None:
         sub = lambda res, qs: {q: res[q] for q in qs if q in res}
 
         for sysname in args.fused.split(","):
-            if sysname not in preds:
+            # Pool over whichever runs contain the system (matching the main
+            # systems loop), not just the first run (ADVICE r4 low).
+            if not any(sysname in pl for pl in preds_list):
                 print(f"[skip] fused {sysname}: not in predictions",
                       file=sys.stderr)
                 continue

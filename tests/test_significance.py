@@ -132,5 +132,21 @@ def test_pooled_fused_holdout_uses_per_run_weights(cli, beir_dir, tmp_path):
     assert isinstance(row["best_w"], list) and len(row["best_w"]) == 2
 
 
+def test_pooled_fused_system_absent_from_first_run(cli, beir_dir, tmp_path):
+    # A fused system missing from the FIRST run but present in a later one
+    # must pool over the runs that contain it — not be silently skipped
+    # (ADVICE r4 low: the gate used to read only preds_list[0]).
+    base = {"q1": {"d2": 2.0, "d1": 1.0}, "q2": {"d2": 1.0, "d1": 0.2}}
+    pa = _write_preds(tmp_path / "a.json.gz", {"bm25": base})
+    pb = _write_preds(tmp_path / "b.json.gz", {
+        "bm25": base, "den": {"q1": {"d1": 2.0}, "q2": {"d2": 1.0}}})
+    rep = _run(cli, ["--data", beir_dir, "--predictions", f"{pa},{pb}",
+                     "--systems", "bm25", "--fused", "den", "--n-boot", "100"],
+               tmp_path / "o.json")
+    row = rep["systems"]["den_bm25_lin_holdout"]
+    assert row["n_runs"] == 1
+    assert not isinstance(row["best_w"], list)
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))

@@ -188,6 +188,46 @@ def test_checkpoint_roundtrip(tok, tmp_path):
     assert find_last_checkpoint(str(tmp_path)) == ckpt
 
 
+def test_find_last_checkpoint_skips_incomplete(tmp_path):
+    # A StepWatchdog os._exit(17) mid-orbax-save leaves a newest
+    # checkpoint-N/ without a finalized state/ — find_last_checkpoint must
+    # fall back to the previous complete one (ADVICE r4 medium).
+    ok = tmp_path / "checkpoint-5" / "state"
+    ok.mkdir(parents=True)
+    (ok / "checkpoint_metadata").write_text("{}")
+    torn = tmp_path / "checkpoint-9"
+    (torn / "state.orbax-checkpoint-tmp-123").mkdir(parents=True)
+    empty = tmp_path / "checkpoint-12" / "state"
+    empty.mkdir(parents=True)  # exists but nothing committed
+    assert find_last_checkpoint(str(tmp_path)) == str(tmp_path / "checkpoint-5")
+    # HF-layout save_only_model dirs ARE complete (eval-only consumers).
+    hf = tmp_path / "checkpoint-20"
+    hf.mkdir()
+    (hf / "model_args.yaml").write_text("x: 1")
+    assert find_last_checkpoint(str(tmp_path)) == str(hf)
+
+
+def test_resume_falls_back_past_torn_checkpoint(tok, tmp_path):
+    # resume_from pointing at a checkpoint whose state/ exists but cannot
+    # restore (torn write) must fall back to the next-older complete
+    # checkpoint instead of killing the relaunch (ADVICE r4 medium).
+    trainer, col = _make_trainer(tok, max_steps=1)
+    it = train_dataloader(iter(_groups(16)), col, batch_size=8)
+    trainer.training_step(next(it))
+    trainer.save_checkpoint(str(tmp_path / "checkpoint-1"))
+    torn = tmp_path / "checkpoint-2" / "state"
+    torn.mkdir(parents=True)
+    (torn / "garbage").write_text("not an orbax checkpoint")
+
+    trainer2, _ = _make_trainer(tok, max_steps=1)
+    trainer2.train_iter = train_dataloader(iter(_groups(16)), col, batch_size=8)
+    trainer2.train(resume_from=str(tmp_path / "checkpoint-2"))
+    assert int(jax.device_get(trainer2.state.step)) == 1
+    a = jax.device_get(trainer.state.params["qry"]["embed_tokens"])
+    b = jax.device_get(trainer2.state.params["qry"]["embed_tokens"])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_loss_decreases(tok):
     # No reg ramp here: the scheduler legitimately grows the FLOPS term,
     # which can raise the total loss in early steps.
