@@ -310,6 +310,11 @@ class TrainingArguments:
 
     # MRL
     matryoshka_dims: tuple[Optional[int], ...] = (None,)
+    # Per-dim loss weights aligned with matryoshka_dims (empty = all 1.0).
+    # The reference sums every dim's CL loss unweighted
+    # (modeling_hybrid.py:664-672); upweighting short prefixes is the lever
+    # VERDICT r4 next #6 asks for to close the prefix-64 vs PCA-64 residual.
+    matryoshka_weights: tuple[float, ...] = ()
 
     # LoRA training freezes the base trunks (parity: peft — only adapter +
     # projector params receive grads/optimizer state; the reference never

@@ -353,13 +353,20 @@ class HybridModel(EncoderModel):
         scores: dict[str, jnp.ndarray] = {}
         base_kwargs = dict(axis_name=axis_name, device_group_q=device_group_q)
 
-        def sub_loss(q, p, name, prefix, suffix="", temperature=None):
+        # Optional per-dim MRL loss weights (VERDICT r4 next #6): the
+        # reference sums the per-dim CL losses unweighted; a weight > 1 on a
+        # short prefix trades full-dim quality for prefix quality.
+        mrl_w = (dict(zip(ta.matryoshka_dims, ta.matryoshka_weights))
+                 if ta.matryoshka_weights else {})
+
+        def sub_loss(q, p, name, prefix, suffix="", temperature=None,
+                     weight=1.0):
             nonlocal loss
             out = super(HybridModel, self).compute_loss(
                 q, p, ce_scores=ce_scores, only_hn=only_hn,
                 temperature=temperature, **base_kwargs,
             )
-            loss = loss + out.loss
+            loss = loss + weight * out.loss
             scores[name] = out.scores
             for k, v in out.logs.items():
                 logs[f"{prefix}{k}{suffix}"] = v
@@ -373,6 +380,7 @@ class HybridModel(EncoderModel):
                     shrink(q_dense, mrl_dim, ma.normalize),
                     shrink(p_dense, mrl_dim, ma.normalize),
                     "dense", "mrl_loss/den_", f"-dim{mrl_dim}",
+                    weight=mrl_w.get(mrl_dim, 1.0),
                 )
 
         use_sparse = q_sparse is not None and p_sparse is not None
@@ -386,6 +394,7 @@ class HybridModel(EncoderModel):
                     shrink(q_emb, mrl_dim, ma.normalize),
                     shrink(p_dense, mrl_dim, ma.normalize),
                     "imb_dense", "mrl_loss/imbden_", f"-dim{mrl_dim}",
+                    weight=mrl_w.get(mrl_dim, 1.0),
                 )
                 if ta.emb_den_reps_distillation:
                     assert use_dense

@@ -1,0 +1,172 @@
+"""Measured device-time table for the asymmetric query-encode speedup.
+
+The reference's headline claim is ~1000x query-encoding speedup on GPU
+serving (paper arXiv:2505.12260 abstract; recorded in BASELINE.md): the
+asymmetric query encoder collapses the full-LLM query forward to a cached
+EmbeddingBag lookup (dense) or raw token counts (sparse). This script pins
+the TPU-native equivalent as a MEASURED table (VERDICT r4 next #7):
+
+  * tower   — full decoder forward + pooling (symmetric query encode),
+              models/hybrid.py encode_query dense path;
+  * embbag  — [V, H] table gather + masked mean (asymmetric dense),
+              ops/embedding_bag.py:embedding_bag_lookup — the serve op;
+  * tok     — host-side token counting (asymmetric sparse): ZERO device
+              time by construction; host cost reported for completeness.
+
+Method: K model-forward iterations inside ONE jit (lax.scan with on-device
+PRNG-generated ids, accumulated into a scalar), so the ~30 ms tunnel RTT
+and dispatch overheads amortize away and loop-invariant hoisting cannot
+delete the work (CLAUDE.md benchmark rules). Median of R repeats, first
+call discarded (compile). The 8B extrapolation assumes the tower forward is
+MXU-bound (time scales with param count) and the lookup is HBM-bound (time
+scales with gathered bytes = S x H); both stated in the output JSON.
+
+Usage:
+  python scripts/asym_speedup_table.py --stage .artifacts/q_proj \
+      --out results/asym_speedup_r5.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from lightretriever_tpu.inference.utils import ensure_device_alive
+
+ensure_device_alive()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True,
+                    help="quality_study --out dir holding model/ + tokenizer/")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--seq", type=int, default=64)
+    ap.add_argument("--iters-tower", type=int, default=16)
+    ap.add_argument("--iters-bag", type=int, default=512)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from transformers import PreTrainedTokenizerFast
+
+    from lightretriever_tpu.models.hybrid import HybridModel
+    from lightretriever_tpu.ops.embedding_bag import embedding_bag_lookup
+
+    tok = PreTrainedTokenizerFast.from_pretrained(
+        os.path.join(args.stage, "tokenizer"))
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model, params = HybridModel.load(
+        os.path.join(args.stage, "model"), dtype=dtype,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id)
+    cfg = model.config
+    V, H = cfg.vocab_size, cfg.hidden_size
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    B, S = args.batch, args.seq
+    print(f"model: {n_params/1e6:.1f}M params ({cfg.num_hidden_layers}L, "
+          f"H={H}, V={V}); B={B} S={S} backend={jax.default_backend()}",
+          flush=True)
+    params = jax.device_put(params)
+    # Stand-in [V, H] table: timing only depends on shape/dtype, so a real
+    # construct_embedding_bag pass (V forwards) is not needed here.
+    bag = jax.device_put(jnp.zeros((V, H), jnp.float32))
+
+    def scan_bench(body, n_iter):
+        """K iterations inside one jit; ids drawn on-device per iteration."""
+        @jax.jit
+        def run(key):
+            def step(carry, _):
+                key, acc = carry
+                key, sub = jax.random.split(key)
+                ids = jax.random.randint(sub, (B, S), 4, V)
+                acc = acc + body(ids)
+                return (key, acc), None
+            (_, acc), _ = jax.lax.scan(step, (key, 0.0), None, length=n_iter)
+            return acc
+
+        times = []
+        for r in range(args.repeats + 1):
+            t0 = time.perf_counter()
+            acc = float(run(jax.random.key(r)))  # forced materialization
+            dt = time.perf_counter() - t0
+            if r:  # discard the compile call
+                times.append(dt)
+        med = float(np.median(times))
+        return med / n_iter, acc
+
+    mask = jnp.ones((B, S), jnp.int32)
+
+    def tower_body(ids):
+        reps = model.encode_query(
+            params, {"input_ids": ids, "attention_mask": mask},
+            training=False, encode_dense=True, encode_sparse=False,
+            encode_emb_reps=False, encode_token_id_reps=False)
+        return reps["dense_reps"].astype(jnp.float32).sum()
+
+    def bag_body(ids):
+        out = embedding_bag_lookup(bag, ids, mask.astype(jnp.float32),
+                                   mode="mean", normalize=True)
+        return out.sum()
+
+    t_tower, _ = scan_bench(tower_body, args.iters_tower)
+    t_bag, _ = scan_bench(bag_body, args.iters_bag)
+
+    # Host-side asymmetric sparse: token counting over already-tokenized ids
+    # (the tok query encoder — zero device work).
+    ids_np = np.random.default_rng(0).integers(4, V, (B, S))
+    t0 = time.perf_counter()
+    reps = [np.bincount(row, minlength=V) for row in ids_np]
+    t_tok_host = (time.perf_counter() - t0) / B
+    del reps
+
+    # 8B extrapolation (stated method, not a measurement): Llama-3.1-8B,
+    # V=128256, H=4096. Tower scales with params (MXU-bound); lookup scales
+    # with gathered bytes S*H*4 (HBM-bound).
+    p8, h8 = 8.03e9, 4096
+    t_tower_8b = t_tower * (p8 / n_params)
+    t_bag_8b = t_bag * (h8 / H)
+    per_q = lambda t: t / B * 1e6  # us/query at this batch
+
+    table = {
+        "config": {"params_m": round(n_params / 1e6, 1), "batch": B,
+                   "seq": S, "vocab": V, "hidden": H,
+                   "backend": jax.default_backend(),
+                   "iters": {"tower": args.iters_tower,
+                             "bag": args.iters_bag},
+                   "repeats": args.repeats},
+        "tower_us_per_query": round(per_q(t_tower), 2),
+        "embbag_us_per_query": round(per_q(t_bag), 3),
+        "tok_host_us_per_query": round(t_tok_host * 1e6, 2),
+        "speedup_embbag_vs_tower": round(t_tower / t_bag, 1),
+        "extrapolated_8b": {
+            "method": "tower: time x (8.03e9 params / measured params), "
+                      "MXU-bound; embbag: time x (4096 / measured hidden), "
+                      "HBM-bound gather of S x H fp32 rows",
+            "tower_us_per_query": round(per_q(t_tower_8b), 1),
+            "embbag_us_per_query": round(per_q(t_bag_8b), 3),
+            "speedup": round(t_tower_8b / t_bag_8b, 1),
+        },
+    }
+    print(json.dumps(table, indent=2), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,22 @@ def main():
     ap.add_argument("--save-embs", action="store_true",
                     help="save dense corpus/query embeddings to <out>/"
                          "dense_embs.npz (MRL spectrum analysis input)")
+    # --- round-5 levers (VERDICT r4 next #5/#6) -------------------------------
+    ap.add_argument("--emb-distill", default="scores",
+                    choices=("none", "scores", "reps", "both"),
+                    help="asymmetric-dense distillation path(s): KL on the "
+                         "in-batch SCORE matrices, direct REPS KL, or both "
+                         "(the reference's two paths, "
+                         "modeling_hybrid.py:683-708)")
+    ap.add_argument("--emb-distill-coef", type=float, default=1.0)
+    ap.add_argument("--tok-distill", action="store_true",
+                    help="asymmetric-sparse score distillation from the "
+                         "dense teacher (reference modeling_hybrid.py:710-729)")
+    ap.add_argument("--tok-distill-coef", type=float, default=1.0)
+    ap.add_argument("--mrl-weights", default=None,
+                    help="comma list of per-dim MRL loss weights aligned "
+                         "with --mrl-dims (full-dim keeps weight 1.0); e.g. "
+                         "--mrl-dims 64,128 --mrl-weights 4,2")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     if args.init_trunk:
@@ -243,8 +259,15 @@ def main():
         sparse_top_k_qry=64, sparse_top_k_psg=256)
     mrl_dims = (tuple(int(d) for d in args.mrl_dims.split(","))
                 if args.mrl_dims else ())
+    mrl_weights = (tuple(float(w) for w in args.mrl_weights.split(","))
+                   if args.mrl_weights else ())
+    if mrl_weights:
+        assert len(mrl_weights) == len(mrl_dims), \
+            "--mrl-weights must align with --mrl-dims"
+        mrl_weights = (1.0,) + mrl_weights  # full-dim entry keeps weight 1
     ta = TrainingArguments(
         matryoshka_dims=(None,) + mrl_dims,
+        matryoshka_weights=mrl_weights,
         output_dir=args.out, learning_rate=args.lr, max_steps=args.steps,
         warmup_steps=min(100, args.steps // 10), logging_steps=args.logging_steps,
         # Tight checkpoint cadence: the tunnel can wedge mid-run every few
@@ -257,7 +280,12 @@ def main():
         clloss_coef=args.clloss_coef,
         distillation=args.distill, distill_coef=args.distill_coef,
         distill_temperature=args.distill_temp,
-        emb_den_scores_distillation=True, async_logging=True,
+        emb_den_scores_distillation=args.emb_distill in ("scores", "both"),
+        emb_den_reps_distillation=args.emb_distill in ("reps", "both"),
+        emb_reps_distill_coef=args.emb_distill_coef,
+        tok_den_scores_distillation=args.tok_distill,
+        tok_reps_distill_coef=args.tok_distill_coef,
+        async_logging=True,
         report_to=("jsonl",), log_file=os.path.join(args.out, "train_log.jsonl"))
     model = HybridModel(ma, ta, cfg, eos_token_id=tok.eos_token_id,
                         pad_token_id=tok.pad_token_id)
@@ -506,6 +534,11 @@ def main():
     }
     summary["seed"] = args.seed
     summary["sparse_projector"] = args.sparse_projector
+    summary["emb_distill"] = args.emb_distill
+    summary["emb_distill_coef"] = args.emb_distill_coef
+    summary["tok_distill"] = bool(args.tok_distill)
+    if mrl_weights:
+        summary["mrl_weights"] = list(mrl_weights)
     if mrl_sweep:
         summary["mrl_sweep"] = mrl_sweep
     if spectrum:

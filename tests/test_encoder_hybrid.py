@@ -297,3 +297,26 @@ def test_hybrid_save_load_with_spr_pooler(tmp_path):
     a = model.encode_passage(params, p)["sparse_reps"]
     b = model2.encode_passage(params2, p)["sparse_reps"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3)
+
+
+def test_matryoshka_weights_scale_prefix_losses():
+    # Per-dim MRL loss weights (VERDICT r4 next #6): weighting dim-16 by w
+    # must add exactly (w-1) x that sub-loss to the total; the reference
+    # sums every dim unweighted (modeling_hybrid.py:664-672).
+    ma = _margs(hybrid_use_dense_vector=True)
+    q = _batch(jax.random.key(1), 2, 8)
+    p = _batch(jax.random.key(2), 4, 12)
+
+    ta0 = TrainingArguments(temperature=0.05, matryoshka_dims=(None, 16))
+    model0 = HybridModel(ma, ta0, TINY, eos_token_id=2)
+    params = model0.init_params(jax.random.key(0))
+    out0 = model0.forward(params, q, p, training=True)
+
+    ta1 = TrainingArguments(temperature=0.05, matryoshka_dims=(None, 16),
+                            matryoshka_weights=(1.0, 3.0))
+    model1 = HybridModel(ma, ta1, TINY, eos_token_id=2)
+    out1 = model1.forward(params, q, p, training=True)
+
+    sub = float(out0.logs["mrl_loss/den_clloss-dim16"])
+    np.testing.assert_allclose(float(out1.loss),
+                               float(out0.loss) + 2.0 * sub, rtol=1e-5)
