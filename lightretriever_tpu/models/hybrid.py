@@ -494,7 +494,9 @@ class HybridModel(EncoderModel):
         super().save(params, output_dir)
         for key in ("spr_pooler_q", "spr_pooler_p"):
             if key in params:
-                arrs = {k: np.asarray(jax.device_get(v))
+                # float32 on disk: np.savez stores ml_dtypes.bfloat16 as raw
+                # void-V2 bytes that np.load cannot convert back.
+                arrs = {k: np.asarray(jax.device_get(v), np.float32)
                         for k, v in params[key].items()}
                 np.savez(os.path.join(output_dir, f"{key}.npz"), **arrs)
 
@@ -509,5 +511,13 @@ class HybridModel(EncoderModel):
             path = os.path.join(model_dir, f"{key}.npz")
             if os.path.exists(path):
                 with np.load(path) as z:
-                    params[key] = {k: jnp.asarray(z[k], dtype) for k in z.files}
+                    loaded = {}
+                    for k in z.files:
+                        a = z[k]
+                        if a.dtype.kind == "V":  # pre-fix checkpoints: raw
+                            import ml_dtypes  # bfloat16 bytes stored as V2
+
+                            a = a.view(ml_dtypes.bfloat16)
+                        loaded[k] = jnp.asarray(a, dtype)
+                    params[key] = loaded
         return base, params

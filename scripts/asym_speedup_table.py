@@ -72,7 +72,7 @@ def main():
     model, params = HybridModel.load(
         os.path.join(args.stage, "model"), dtype=dtype,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id)
-    cfg = model.config
+    cfg = model.config_qry
     V, H = cfg.vocab_size, cfg.hidden_size
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))

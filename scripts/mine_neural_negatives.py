@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--depth", type=int, default=100)
     ap.add_argument("--encode-batch", type=int, default=256)
     ap.add_argument("--max-rows", type=int, default=0, help="debug cap")
+    ap.add_argument("--max-corpus", type=int, default=0,
+                    help="debug cap on the retrieval corpus (CPU smoke test)")
     ap.add_argument("--fuse-weights", default="0.7,0.3",
                     help="must match the serve-time HybridSearch fusion")
     args = ap.parse_args()
@@ -76,6 +78,8 @@ def main():
     tok = PreTrainedTokenizerFast.from_pretrained(
         os.path.join(args.stage, "tokenizer"))
     corpus, _, _ = load_beir_dataset(args.data)
+    if args.max_corpus:
+        corpus = dict(list(corpus.items())[: args.max_corpus])
     rows = []
     with open(args.train_file) as f:
         for line in f:
