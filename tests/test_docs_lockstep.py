@@ -18,7 +18,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Citations allowed to be absent (stages still queued in the running study
 # chain). MUST be emptied before the round closes.
-PENDING: set[str] = set()  # chain stages queued; add paths only while queued
+PENDING: set[str] = {  # r5b_chain.sh stages queued; drop each as it lands
+    "results/asym_speedup_r5.json",
+    "results/q_proj_s1_quality_summary.json",
+    "results/q_proj_pooled_significance.json",
+    "results/q_cheader_ft_quality_summary.json",
+    "results/rr_proj_s1_summary.json",
+    "results/q_big_quality_summary.json",
+    "results/rr_big_summary.json",
+    "results/rr_neural_summary.json",
+    "results/q_asym_quality_summary.json",
+    "results/q_mrl_w_quality_summary.json",
+    "results/q_s2_quality_summary.json",
+}
 
 _CITE = re.compile(r"(?:results|BENCH|MULTICHIP)[A-Za-z0-9_./-]*\.json[l]?")
 
