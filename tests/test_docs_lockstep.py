@@ -63,3 +63,54 @@ def test_markdown_citations_resolve():
 @pytest.mark.parametrize("doc", ["PERFORMANCE.md", "README.md"])
 def test_key_docs_exist(doc):
     assert os.path.exists(os.path.join(REPO, doc))
+
+
+# --- cited NUMBERS, not just cited filenames (VERDICT r4 next #9) -----------
+# Each claim: the quote must appear verbatim in the doc, and the artifact
+# value at the dotted path must round to the claimed number (|Δ| ≤ half an
+# ulp of the printed precision). Catches the round-4 class of label drift
+# (a number quoted from the wrong row of the right artifact).
+CLAIMS = [
+    # README headline table rows
+    ("README.md", "fusion 0.680 [0.672..0.688] NDCG@10 vs BM25 0.536",
+     "results/r4_quality_aggregate.json",
+     [("systems.den_spr_bm25_lin.NDCG@10.mean", 0.680),
+      ("systems.den_spr_bm25_lin.NDCG@10.min", 0.672),
+      ("systems.den_spr_bm25_lin.NDCG@10.max", 0.688),
+      ("systems.bm25.NDCG@10.mean", 0.536)]),
+    ("README.md", "den_spr 0.554 NDCG@10 > BM25 0.536 (R@100 0.883 vs 0.865)",
+     "results/q_proj_quality_summary.json",
+     [("metrics.den_spr.NDCG@10", 0.554),
+      ("metrics.bm25.NDCG@10", 0.536),
+      ("metrics.den_spr.Recall@100", 0.883),
+      ("metrics.bm25.Recall@100", 0.865)]),
+    ("README.md", "0.652 vs 0.557 NDCG@10",
+     "results/rr_mined_summary.json",
+     [("reranked_fused.NDCG@10", 0.652),
+      ("first_stage_bm25.NDCG@10", 0.557)]),
+    ("README.md", "NDCG@1 +7.8pt",
+     "results/rr_mined_summary.json",
+     [("reranked_fused.NDCG@1", 0.498),
+      ("first_stage_bm25.NDCG@1", 0.420)]),
+]
+
+
+def _dig(obj, dotted: str):
+    for part in dotted.split("."):
+        obj = obj[part]
+    return obj
+
+
+@pytest.mark.parametrize("doc,quote,artifact,checks", CLAIMS,
+                         ids=[c[1][:40] for c in CLAIMS])
+def test_cited_numbers_match_artifacts(doc, quote, artifact, checks):
+    import json
+
+    text = open(os.path.join(REPO, doc), encoding="utf-8").read()
+    assert quote in text, f"{doc} no longer contains the claimed quote: {quote!r}"
+    data = json.load(open(os.path.join(REPO, artifact)))
+    for path, claimed in checks:
+        got = float(_dig(data, path))
+        # half an ulp of the printed precision (3 decimals) + float slack
+        assert abs(got - claimed) <= 5.0001e-4, (
+            f"{doc} claims {claimed} but {artifact}:{path} = {got}")
