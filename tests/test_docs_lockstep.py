@@ -19,7 +19,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Citations allowed to be absent (stages still queued in the running study
 # chain). MUST be emptied before the round closes.
 PENDING: set[str] = {  # r5b_chain.sh stages queued; drop each as it lands
-    "results/asym_speedup_r5.json",
     "results/q_proj_s1_quality_summary.json",
     "results/q_proj_pooled_significance.json",
     "results/q_cheader_ft_quality_summary.json",
@@ -92,6 +91,10 @@ CLAIMS = [
      "results/rr_mined_summary.json",
      [("reranked_fused.NDCG@1", 0.498),
       ("first_stage_bm25.NDCG@1", 0.420)]),
+    ("README.md", "0.93 µs vs 83.8 µs/query",
+     "results/asym_speedup_r5.json",
+     [("embbag_us_per_query", 0.93),
+      ("tower_us_per_query", 83.8)]),
 ]
 
 
