@@ -112,8 +112,11 @@ def test_cited_numbers_match_artifacts(doc, quote, artifact, checks):
     text = open(os.path.join(REPO, doc), encoding="utf-8").read()
     assert quote in text, f"{doc} no longer contains the claimed quote: {quote!r}"
     data = json.load(open(os.path.join(REPO, artifact)))
+    from decimal import Decimal
+
     for path, claimed in checks:
         got = float(_dig(data, path))
-        # half an ulp of the printed precision (3 decimals) + float slack
-        assert abs(got - claimed) <= 5.0001e-4, (
+        # half an ulp of the claim's own printed precision + float slack
+        ulp = 10.0 ** Decimal(str(claimed)).as_tuple().exponent
+        assert abs(got - claimed) <= 0.50001 * ulp, (
             f"{doc} claims {claimed} but {artifact}:{path} = {got}")
