@@ -19,8 +19,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Citations allowed to be absent (stages still queued in the running study
 # chain). MUST be emptied before the round closes.
 PENDING: set[str] = {  # r5b_chain.sh stages queued; drop each as it lands
-    "results/q_proj_s1_quality_summary.json",
-    "results/q_proj_pooled_significance.json",
     "results/q_cheader_ft_quality_summary.json",
     "results/rr_proj_s1_summary.json",
     "results/q_big_quality_summary.json",
@@ -95,6 +93,18 @@ CLAIMS = [
      "results/asym_speedup_r5.json",
      [("embbag_us_per_query", 0.93),
       ("tower_us_per_query", 83.8)]),
+    ("README.md",
+     "den_spr 0.560 vs BM25 0.536 pooled NDCG@10, p=0.027 paired bootstrap",
+     "results/q_proj_pooled_significance.json",
+     [("systems.den_spr.system_mean", 0.560),
+      ("baseline_mean", 0.536),
+      ("systems.den_spr.p_one_sided", 0.027)]),
+    ("README.md", "seed-1 alone: 0.566",
+     "results/q_proj_s1_quality_summary.json",
+     [("metrics.den_spr.NDCG@10", 0.566)]),
+    ("PERFORMANCE.md", "two\nindependent training runs (0.554, 0.566 vs BM25 0.536) with pooled\np=0.027",
+     "results/q_proj_pooled_significance.json",
+     [("systems.den_spr.p_one_sided", 0.027)]),
 ]
 
 
