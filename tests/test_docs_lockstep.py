@@ -19,8 +19,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Citations allowed to be absent (stages still queued in the running study
 # chain). MUST be emptied before the round closes.
 PENDING: set[str] = {  # r5b_chain.sh stages queued; drop each as it lands
-    "results/q_cheader_ft_quality_summary.json",
-    "results/rr_proj_s1_summary.json",
     "results/q_big_quality_summary.json",
     "results/rr_big_summary.json",
     "results/rr_neural_summary.json",
@@ -105,6 +103,22 @@ CLAIMS = [
     ("PERFORMANCE.md", "two\nindependent training runs (0.554, 0.566 vs BM25 0.536) with pooled\np=0.027",
      "results/q_proj_pooled_significance.json",
      [("systems.den_spr.p_one_sided", 0.027)]),
+    # round-5 seed-1 retrieve+rerank replication
+    ("PERFORMANCE.md", "| den_spr top-100 → CE, fused | **0.613** | 0.606 |",
+     "results/rr_proj_s1_summary.json",
+     [("neural_first_stages.den_spr.reranked_fused.NDCG@10", 0.613)]),
+    ("PERFORMANCE.md", "| BM25 top-100 → CE, fused | **0.652** | 0.652 |",
+     "results/rr_proj_s1_summary.json",
+     [("reranked_fused.NDCG@10", 0.652)]),
+    # round-5 second-domain fine-tune
+    ("PERFORMANCE.md", "den_spr reaches 0.599 vs BM25 0.729",
+     "results/q_cheader_ft_quality_summary.json",
+     [("metrics.den_spr.NDCG@10", 0.599),
+      ("metrics.bm25.NDCG@10", 0.729)]),
+    ("PERFORMANCE.md", "2/3 fusion 0.760 vs BM25 0.729",
+     "results/q_cheader_ft_quality_summary.json",
+     [("holdout.den_bm25_lin.NDCG@10", 0.760),
+      ("metrics.bm25.NDCG@10", 0.729)]),
 ]
 
 
