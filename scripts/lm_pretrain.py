@@ -186,11 +186,25 @@ def main():
     @jax.jit
     def step_fn(params, opt_state, x, y):
         def loss_fn(p):
+            # remat + chunked CE: at 164M params (B=64 S=256 V=32k) the
+            # unchunked path OOMs v5e-1 — full fp32 logits are ~2.1GB plus
+            # backward temps, and saved per-layer QKV adds ~4GB more.
             h = dec.forward(p, x, config=cfg, causal=True,
-                            attn_impl="xla", remat=False)["last_hidden_state"]
-            lg = dec.logits(p, h, cfg).astype(jnp.float32)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                lg, y).mean()
+                            attn_impl="xla", remat=True)["last_hidden_state"]
+            C = 32  # seq chunk; peak extra memory = B*C*V fp32 (~256MB)
+            hc = h.reshape(h.shape[0], -1, C, h.shape[-1]).swapaxes(0, 1)
+            yc = y.reshape(y.shape[0], -1, C).swapaxes(0, 1)
+
+            @jax.checkpoint
+            def ce(hs, ys):
+                lg = dec.logits(p, hs, cfg).astype(jnp.float32)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    lg, ys).sum()
+
+            tot = jax.lax.scan(
+                lambda c, xs: (c + ce(*xs), None),
+                jnp.zeros((), jnp.float32), (hc, yc))[0]
+            return tot / y.size
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
