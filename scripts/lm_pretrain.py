@@ -218,14 +218,29 @@ def main():
     if os.path.exists(ckpt_path):
         with np.load(ckpt_path) as z:
             start = int(z["step"])
-            loaded = [jnp.asarray(z[f"l{i}"]).astype(l.dtype)
-                      for i, l in enumerate(leaves)]
+            loaded = []
+            for i, l in enumerate(leaves):
+                a = z[f"l{i}"]
+                if (a.dtype.kind == "V" and a.dtype.itemsize == 2) or (
+                        a.dtype == np.uint16 and l.dtype == jnp.bfloat16):
+                    import ml_dtypes  # bf16 bit patterns (legacy V2 / uint16)
+
+                    a = a.view(ml_dtypes.bfloat16)
+                loaded.append(jnp.asarray(a).astype(l.dtype))
         params, opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
         print(f"resumed from step {start}", flush=True)
 
     def save(step, params, opt_state):
         ls = jax.tree_util.tree_leaves((params, opt_state))
-        arrs = {f"l{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(ls)}
+        # bf16 leaves round-trip npz as void-V2 (same class as the projector
+        # npz bug, 66dc09f): store them as uint16 bit patterns instead; the
+        # load path views V2 back, and uint16 restores via .view too.
+        arrs = {}
+        for i, l in enumerate(ls):
+            a = np.asarray(jax.device_get(l))
+            if a.dtype == jnp.bfloat16:
+                a = a.view(np.uint16)
+            arrs[f"l{i}"] = a
         tmp = ckpt_path + ".tmp.npz"
         np.savez(tmp, step=step, **arrs)
         os.replace(tmp, ckpt_path)
