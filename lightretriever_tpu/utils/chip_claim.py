@@ -34,8 +34,8 @@ import time
 # A recorded pid is only ours if its cmdline mentions one of these.
 _STUDY_MARKERS = (
     "quality_study", "rerank_study", "lm_pretrain", "with_tpu",
-    "r4_chain", "r5_chain", "r5b_chain", "r5c_chain", "serving_latency",
-    "sparse_engine",
+    "r4_chain", "r5_chain", "r5b_chain", "r5c_chain", "r5d_chain",
+    "serving_latency", "sparse_engine",
     "rerank_predictions", "bm25_teacher", "harvest_pretrain",
     "mine_neural_negatives", "asym_speedup_table", "r5_supervisor",
 )
