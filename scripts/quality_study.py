@@ -159,6 +159,11 @@ def main():
                     help="asymmetric-sparse score distillation from the "
                          "dense teacher (reference modeling_hybrid.py:710-729)")
     ap.add_argument("--tok-distill-coef", type=float, default=1.0)
+    ap.add_argument("--grad-ckpt", action="store_true",
+                    help="remat the encode forwards (TrainingArguments."
+                         "gradient_checkpointing). Required at 164M on "
+                         "v5e-1: the unchecked train step allocates 29G "
+                         "of 15.75G HBM (loss-identical; ~+1/3 step time)")
     ap.add_argument("--mrl-weights", default=None,
                     help="comma list of per-dim MRL loss weights aligned "
                          "with --mrl-dims (full-dim keeps weight 1.0); e.g. "
@@ -280,6 +285,7 @@ def main():
         clloss_coef=args.clloss_coef,
         distillation=args.distill, distill_coef=args.distill_coef,
         distill_temperature=args.distill_temp,
+        gradient_checkpointing=args.grad_ckpt,
         emb_den_scores_distillation=args.emb_distill in ("scores", "both"),
         emb_den_reps_distillation=args.emb_distill in ("reps", "both"),
         emb_reps_distill_coef=args.emb_distill_coef,

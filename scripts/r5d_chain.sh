@@ -66,7 +66,7 @@ bank lm_pt_big
 
 stage q_big $W python scripts/quality_study.py --data "$A/docstring_beir" \
   --out "$A/q_big" --init-trunk "$A/lm_pt_big" --distill --train-file "$TRAIN" \
-  --steps 8000 --seed 0 --sparse-projector linear
+  --steps 8000 --seed 0 --sparse-projector linear --grad-ckpt
 publish "$A/q_big/quality_summary.json" q_big_quality_summary.json
 bank q_big
 
